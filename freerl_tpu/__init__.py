@@ -1,0 +1,23 @@
+"""freerl_tpu — a TPU-native deep reinforcement learning framework.
+
+Built from scratch in JAX (jit / vmap / lax.scan / shard_map / Pallas) with the
+capability surface of the PyTorch reference `wild-firefox/FreeRL`
+(see SURVEY.md): the DQN trick matrix, DDPG/TD3/SAC, PPO + tricks, REINFORCE,
+the multi-agent family (MADDPG/MATD3, MAPPO/HAPPO/IPPO, MAT, MASAC/MAAC),
+GAIL, CEM-GD3PG and ENVELOPE multi-objective RL.
+
+Architecture (TPU-first, not a translation):
+  - environments are pure-JAX ``step(state, action) -> state'`` functions,
+    vmapped over thousands of instances and rolled with ``lax.scan``
+    (replaces the single python env loop, reference DQN_file/DQN.py:294-343);
+  - replay buffers are HBM-resident jnp arrays (replaces host-numpy ring
+    buffers with per-call H2D copies, reference DQN_file/Buffer.py:51-56);
+  - updates are fused, jit-compiled kernels; the whole actor-learner step is
+    one XLA program;
+  - scale-out is a `jax.sharding.Mesh` + shard_map learner with psum gradient
+    reduction over ICI (the reference has no distributed backend at all).
+"""
+
+__version__ = "0.1.0"
+
+from freerl_tpu import envs, buffers, nets, algos, train  # noqa: F401

@@ -1,0 +1,145 @@
+"""Prioritized experience replay with a dense, fully-vectorized sum-tree.
+
+The reference's SumTree updates and samples with per-element python loops
+(DQN_file/Buffer.py:134-194, update loop :157-166, per-batch priority loop
+:126-129) — death on TPU. Here the tree is a single HBM array of size
+``2*capacity`` (capacity rounded to a power of two, root at index 1):
+
+  - priority writes recompute ancestors bottom-up, level-by-level, with
+    batched gathers/scatters — exact and duplicate-safe (a node is always
+    recomputed from both children);
+  - sampling is segment-stratified like the reference (batch_size segments,
+    one uniform each) and descends all samples in lockstep with a
+    ``fori_loop`` over the log2(capacity) levels.
+
+Hyperparameter parity: alpha=0.5, beta0=0.4, beta += 0.001 per sample (capped
+at 1), epsilon=0.01; new transitions enter at the running max priority
+(DQN_file/Buffer.py:66-132).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from freerl_tpu.core.types import Transition
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+@struct.dataclass
+class PERBuffer:
+    data: Transition
+    tree: jnp.ndarray          # (2*cap,) sum-tree; leaves at [cap, 2*cap)
+    pos: jnp.ndarray
+    size: jnp.ndarray
+    max_priority: jnp.ndarray  # running max of p^alpha
+    beta: jnp.ndarray
+    capacity: int = struct.field(pytree_node=False)
+    depth: int = struct.field(pytree_node=False)
+    alpha: float = struct.field(pytree_node=False, default=0.5)
+    beta_increment: float = struct.field(pytree_node=False, default=1e-3)
+    eps: float = struct.field(pytree_node=False, default=0.01)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(cls, capacity: int, example: Transition, alpha: float = 0.5,
+               beta: float = 0.4, beta_increment: float = 1e-3,
+               eps: float = 0.01) -> "PERBuffer":
+        cap = _next_pow2(capacity)
+        data = jax.tree.map(
+            lambda x: jnp.zeros((cap,) + jnp.shape(x), jnp.asarray(x).dtype),
+            example,
+        )
+        depth = cap.bit_length() - 1
+        return cls(
+            data=data,
+            tree=jnp.zeros((2 * cap,), jnp.float32),
+            pos=jnp.int32(0),
+            size=jnp.int32(0),
+            max_priority=jnp.float32(1.0),
+            beta=jnp.float32(beta),
+            capacity=cap,
+            depth=depth,
+            alpha=alpha,
+            beta_increment=beta_increment,
+            eps=eps,
+        )
+
+    # ------------------------------------------------------------------
+    def _set_leaves(self, idx: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+        """Set leaf priorities and exactly rebuild all touched ancestors."""
+        tree = self.tree.at[self.capacity + idx].set(p)
+        nodes = self.capacity + idx
+        for _ in range(self.depth):
+            nodes = nodes // 2
+            tree = tree.at[nodes].set(tree[2 * nodes] + tree[2 * nodes + 1])
+        return tree
+
+    # ------------------------------------------------------------------
+    def add(self, batch: Transition) -> "PERBuffer":
+        b = jax.tree.leaves(batch)[0].shape[0]
+        idx = (self.pos + jnp.arange(b)) % self.capacity
+        data = jax.tree.map(
+            lambda buf, new: buf.at[idx].set(new), self.data, batch
+        )
+        tree = self._set_leaves(idx, jnp.full((b,), self.max_priority))
+        return self.replace(
+            data=data,
+            tree=tree,
+            pos=(self.pos + b) % self.capacity,
+            size=jnp.minimum(self.size + b, self.capacity),
+        )
+
+    # ------------------------------------------------------------------
+    def sample_idx(self, key: jax.Array, batch_size: int):
+        """Stratified descent. Returns (new_state, idx, is_weights)."""
+        total = self.tree[1]
+        u = (jnp.arange(batch_size) + jax.random.uniform(key, (batch_size,))) * (
+            total / batch_size
+        )
+
+        def level(_, carry):
+            node, mass = carry
+            left = self.tree[2 * node]
+            go_right = mass > left
+            node = 2 * node + go_right.astype(jnp.int32)
+            mass = jnp.where(go_right, mass - left, mass)
+            return node, mass
+
+        node, _ = jax.lax.fori_loop(
+            0, self.depth, level, (jnp.ones((batch_size,), jnp.int32), u)
+        )
+        idx = jnp.clip(node - self.capacity, 0, self.capacity - 1)
+        prio = self.tree[self.capacity + idx]
+        probs = prio / jnp.maximum(total, 1e-12)
+        n = jnp.maximum(self.size.astype(jnp.float32), 1.0)
+        w = jnp.power(n * jnp.maximum(probs, 1e-12), -self.beta)
+        w = w / jnp.maximum(jnp.max(w), 1e-12)
+        new = self.replace(
+            beta=jnp.minimum(self.beta + self.beta_increment, 1.0)
+        )
+        return new, idx, w
+
+    def sample(self, key: jax.Array, batch_size: int):
+        new, idx, w = self.sample_idx(key, batch_size)
+        batch = jax.tree.map(lambda buf: buf[idx], self.data)
+        return new, batch, idx, w
+
+    def gather(self, idx: jnp.ndarray) -> Transition:
+        return jax.tree.map(lambda buf: buf[idx], self.data)
+
+    # ------------------------------------------------------------------
+    def update_priorities(self, idx: jnp.ndarray,
+                          td_error: jnp.ndarray) -> "PERBuffer":
+        p = jnp.power(jnp.abs(td_error) + self.eps, self.alpha)
+        tree = self._set_leaves(idx, p)
+        return self.replace(
+            tree=tree,
+            max_priority=jnp.maximum(self.max_priority, jnp.max(p)),
+        )

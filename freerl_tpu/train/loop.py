@@ -1,0 +1,216 @@
+"""Vectorized actor-learner training loops, fully on-device.
+
+Replaces the reference's python while-loop over a single env
+(DQN_file/DQN.py:294-343) with a ``lax.scan`` over vectorized env steps:
+action selection, env dynamics, buffer writes, learner updates and episode
+accounting are one compiled XLA program per chunk. The host only dispatches
+chunks and reads back aggregate metrics, so there is no per-step
+host<->device traffic.
+
+Reference conventions preserved:
+  - ``start_steps`` warmup before learning, ``random_steps`` uniform-action
+    warmup, ``learn_steps_interval`` cadence — all counted in TOTAL env steps
+    (num_envs per vector step) so the update/env-step ratio stays comparable
+    when scaling the env batch (SURVEY §7 'hard parts' #3);
+  - ``done_bool`` = terminated only goes into the buffer; episode accounting
+    uses terminated|truncated (DQN_file/DQN.py:317-318);
+  - a chronological per-episode return curve is recorded exactly like the
+    reference's ``train_return`` list -> .npy dump (DQN_file/DQN.py:331,349).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from freerl_tpu.core.types import Transition
+from freerl_tpu.envs.base import Env, vec_reset, vec_step_auto_reset
+
+
+@dataclasses.dataclass(frozen=True)
+class OffPolicyConfig:
+    seed: int = 0
+    num_envs: int = 16
+    max_episodes: int = 500
+    max_env_steps: int = 10_000_000      # hard budget
+    start_steps: int = 500               # env steps before learning
+    random_steps: int = 0                # uniform-random action warmup
+    learn_interval_steps: int = 1        # env steps between update bursts
+    updates_per_burst: int = 1           # gradient updates per burst
+    chunk_size: int = 256                # scan length per jit dispatch
+    log_every_chunks: int = 8
+
+
+@struct.dataclass
+class LoopCarry:
+    algo_state: object
+    buffer: object
+    env_state: object
+    obs: jnp.ndarray
+    key: jax.Array
+    ep_return: jnp.ndarray        # (num_envs,)
+    ep_counter: jnp.ndarray       # scalar int32, completed episodes
+    episode_returns: jnp.ndarray  # (capacity,) chronological return record
+    total_steps: jnp.ndarray      # scalar int32, vector steps so far
+    update_count: jnp.ndarray     # scalar int32
+
+
+def _example_transition(env: Env) -> Transition:
+    di = env.dim_info
+    if di.is_continue:
+        action = jnp.zeros((di.action_dim,), jnp.float32)
+    else:
+        action = jnp.zeros((), jnp.int32)
+    return Transition(
+        obs=jnp.zeros((di.obs_dim,), jnp.float32),
+        action=action,
+        reward=jnp.zeros((), jnp.float32),
+        next_obs=jnp.zeros((di.obs_dim,), jnp.float32),
+        done=jnp.zeros((), jnp.bool_),
+        episode_done=jnp.zeros((), jnp.bool_),
+    )
+
+
+def train_offpolicy(env: Env, algo, cfg: OffPolicyConfig,
+                    on_chunk: Optional[Callable] = None):
+    """Generic off-policy driver for DQN/DDPG/TD3/SAC-family algos.
+
+    ``algo`` must expose: ``init(key)``, ``make_buffer(example)``,
+    ``explore(state, obs, key, total_env_steps, random_steps)`` and
+    ``learn_step(state, buffer, key, num_envs)``.
+
+    Returns ``(algo_state, episode_returns ndarray, info dict)``.
+    """
+    num_envs = cfg.num_envs
+    record_cap = cfg.max_episodes + num_envs + 1
+
+    key = jax.random.PRNGKey(cfg.seed)
+    k_algo, k_env, k_loop = jax.random.split(key, 3)
+    algo_state = algo.init(k_algo)
+    buffer = algo.make_buffer(_example_transition(env))
+    env_state, obs = vec_reset(env, k_env, num_envs)
+
+    carry = LoopCarry(
+        algo_state=algo_state,
+        buffer=buffer,
+        env_state=env_state,
+        obs=obs,
+        key=k_loop,
+        ep_return=jnp.zeros((num_envs,), jnp.float32),
+        ep_counter=jnp.int32(0),
+        episode_returns=jnp.zeros((record_cap,), jnp.float32),
+        total_steps=jnp.int32(0),
+        update_count=jnp.int32(0),
+    )
+
+    def step_fn(carry: LoopCarry, _):
+        k, k_act, k_step, k_learn = jax.random.split(carry.key, 4)
+        total_env_steps = carry.total_steps * num_envs
+
+        action = algo.explore(
+            carry.algo_state, carry.obs, k_act, total_env_steps,
+            cfg.random_steps,
+        )
+        out = vec_step_auto_reset(env, carry.env_state, action, k_step,
+                                  num_envs)
+        trans = Transition(
+            obs=carry.obs,
+            action=action,
+            reward=out.reward,
+            next_obs=out.next_obs,
+            done=out.terminated,
+            episode_done=out.episode_done,
+        )
+        buffer = carry.buffer.add(trans)
+
+        # episode accounting: scatter finished returns chronologically
+        ret = carry.ep_return + out.reward
+        dones = out.episode_done
+        offs = jnp.cumsum(dones.astype(jnp.int32)) - 1
+        slot = jnp.where(dones, carry.ep_counter + offs, record_cap)
+        episode_returns = carry.episode_returns.at[slot].set(
+            ret, mode="drop"
+        )
+        ep_counter = carry.ep_counter + jnp.sum(dones.astype(jnp.int32))
+        ep_return = jnp.where(dones, 0.0, ret)
+
+        # learner burst
+        total_steps = carry.total_steps + 1
+        env_steps_now = total_steps * num_envs
+        do_learn = jnp.logical_and(
+            env_steps_now > cfg.start_steps,
+            (total_steps % max(cfg.learn_interval_steps // num_envs, 1)) == 0,
+        )
+
+        def burst(args):
+            algo_state, buf, k = args
+
+            def one(i, acc):
+                s, b = acc
+                kk = jax.random.fold_in(k, i)
+                s, b, _ = algo.learn_step(s, b, kk, num_envs)
+                return (s, b)
+
+            algo_state, buf = jax.lax.fori_loop(
+                0, cfg.updates_per_burst, one, (algo_state, buf)
+            )
+            return algo_state, buf
+
+        algo_state, buffer = jax.lax.cond(
+            do_learn,
+            burst,
+            lambda args: (args[0], args[1]),
+            (carry.algo_state, buffer, k_learn),
+        )
+        update_count = carry.update_count + jnp.where(
+            do_learn, cfg.updates_per_burst, 0
+        )
+
+        new_carry = LoopCarry(
+            algo_state=algo_state,
+            buffer=buffer,
+            env_state=out.state,
+            obs=out.carry_obs,
+            key=k,
+            ep_return=ep_return,
+            ep_counter=ep_counter,
+            episode_returns=episode_returns,
+            total_steps=total_steps,
+            update_count=update_count,
+        )
+        return new_carry, None
+
+    @jax.jit
+    def run_chunk(carry):
+        carry, _ = jax.lax.scan(step_fn, carry, None, length=cfg.chunk_size)
+        return carry
+
+    t0 = time.time()
+    chunk_i = 0
+    while True:
+        carry = run_chunk(carry)
+        chunk_i += 1
+        n_eps = int(carry.ep_counter)
+        n_steps = int(carry.total_steps) * num_envs
+        if on_chunk is not None and chunk_i % cfg.log_every_chunks == 0:
+            on_chunk(chunk_i, n_eps, n_steps, carry)
+        if n_eps >= cfg.max_episodes or n_steps >= cfg.max_env_steps:
+            break
+
+    elapsed = time.time() - t0
+    n_eps = int(carry.ep_counter)
+    returns = np.asarray(carry.episode_returns)[: min(n_eps, cfg.max_episodes)]
+    info = {
+        "elapsed_s": elapsed,
+        "env_steps": int(carry.total_steps) * num_envs,
+        "updates": int(carry.update_count),
+        "env_steps_per_s": int(carry.total_steps) * num_envs / max(elapsed, 1e-9),
+        "episodes": n_eps,
+    }
+    return carry.algo_state, returns, info
