@@ -1,0 +1,104 @@
+"""Headline benchmark: DQN on LunarLander-v2, aggregate env-steps/s on TPU.
+
+Runs the full actor-learner hot path — vectorized pure-JAX LunarLander
+physics, epsilon-greedy action selection, HBM replay writes, one fused DQN
+update per vector step — as a single jitted scan chunk on the default
+backend (the real TPU chip under the driver; CPU if forced).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": steps/s, "unit": "env_steps/s", "vs_baseline": x}
+vs_baseline is against the BASELINE.md build target of 1M env-steps/s
+aggregate on one host (the torch reference is single-env, single-process and
+publishes no throughput numbers at all — SURVEY §6).
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 2048))
+CHUNK = int(os.environ.get("BENCH_CHUNK", 256))
+WARMUP_CHUNKS = 2
+MEASURE_CHUNKS = int(os.environ.get("BENCH_CHUNKS", 8))
+BASELINE_STEPS_PER_S = 1_000_000.0
+
+
+def main():
+    if os.environ.get("BENCH_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    from freerl_tpu.algos.dqn import DQN, DQNConfig
+    from freerl_tpu.buffers.uniform import ReplayBuffer  # noqa: F401
+    from freerl_tpu.core.types import Transition
+    from freerl_tpu.envs import make, vec_reset, vec_step_auto_reset
+
+    env = make("LunarLander-v2")
+    algo = DQN(
+        env.dim_info,
+        DQNConfig(buffer_size=1_000_000, batch_size=256),
+    )
+    key = jax.random.PRNGKey(0)
+    k_algo, k_env, k_loop = jax.random.split(key, 3)
+    algo_state = algo.init(k_algo)
+    example = Transition(
+        obs=jnp.zeros((env.dim_info.obs_dim,), jnp.float32),
+        action=jnp.zeros((), jnp.int32),
+        reward=jnp.zeros((), jnp.float32),
+        next_obs=jnp.zeros((env.dim_info.obs_dim,), jnp.float32),
+        done=jnp.zeros((), jnp.bool_),
+        episode_done=jnp.zeros((), jnp.bool_),
+    )
+    buffer = algo.make_buffer(example)
+    env_state, obs = jax.jit(lambda k: vec_reset(env, k, NUM_ENVS))(k_env)
+
+    def step_fn(carry, _):
+        algo_state, buffer, env_state, obs, key, t = carry
+        k, k_act, k_step, k_learn = jax.random.split(key, 4)
+        action = algo.explore(algo_state, obs, k_act, jnp.int32(10**9), 0)
+        out = vec_step_auto_reset(env, env_state, action, k_step, NUM_ENVS)
+        trans = Transition(
+            obs=obs, action=action, reward=out.reward,
+            next_obs=out.next_obs, done=out.terminated,
+            episode_done=out.episode_done,
+        )
+        buffer = buffer.add(trans)
+        algo_state, buffer, _ = algo.learn_step(
+            algo_state, buffer, k_learn, NUM_ENVS
+        )
+        return (algo_state, buffer, out.state, out.carry_obs, k, t + 1), None
+
+    @jax.jit
+    def run_chunk(carry):
+        carry, _ = jax.lax.scan(step_fn, carry, None, length=CHUNK)
+        return carry
+
+    carry = (algo_state, buffer, env_state, obs, k_loop, jnp.int32(0))
+    for _ in range(WARMUP_CHUNKS):
+        carry = run_chunk(carry)
+    jax.block_until_ready(carry[0].params)
+
+    t0 = time.time()
+    for _ in range(MEASURE_CHUNKS):
+        carry = run_chunk(carry)
+    jax.block_until_ready(carry[0].params)
+    elapsed = time.time() - t0
+
+    steps = MEASURE_CHUNKS * CHUNK * NUM_ENVS
+    sps = steps / elapsed
+    print(json.dumps({
+        "metric": "dqn_lunarlander_env_steps_per_s",
+        "value": round(sps, 1),
+        "unit": "env_steps/s",
+        "vs_baseline": round(sps / BASELINE_STEPS_PER_S, 3),
+    }))
+    print(
+        f"# backend={jax.default_backend()} num_envs={NUM_ENVS} "
+        f"chunk={CHUNK} updates/vecstep=1 elapsed={elapsed:.2f}s",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
