@@ -53,10 +53,18 @@ def main():
     buffer = algo.make_buffer(example)
     env_state, obs = jax.jit(lambda k: vec_reset(env, k, NUM_ENVS))(k_env)
 
+    from freerl_tpu.algos.base import ExploreCtx
+
     def step_fn(carry, _):
         algo_state, buffer, env_state, obs, key, t = carry
         k, k_act, k_step, k_learn = jax.random.split(key, 4)
-        action = algo.explore(algo_state, obs, k_act, jnp.int32(10**9), 0)
+        ctx = ExploreCtx(
+            total_env_steps=jnp.int32(10**9),
+            episodes=jnp.int32(0),
+            done_prev=jnp.zeros((NUM_ENVS,), jnp.bool_),
+            random_steps=0,
+        )
+        algo_state, action = algo.explore(algo_state, obs, k_act, ctx)
         out = vec_step_auto_reset(env, env_state, action, k_step, NUM_ENVS)
         trans = Transition(
             obs=obs, action=action, reward=out.reward,

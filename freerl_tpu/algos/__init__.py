@@ -1,4 +1,13 @@
 from freerl_tpu.algos.dqn import DQN, DQNConfig
+from freerl_tpu.algos.ddpg import DDPG, DDPGConfig
+from freerl_tpu.algos.td3 import TD3, TD3Config
+from freerl_tpu.algos.sac import SAC, SACConfig
 from freerl_tpu.algos import common
 
-__all__ = ["DQN", "DQNConfig", "common"]
+__all__ = [
+    "DQN", "DQNConfig",
+    "DDPG", "DDPGConfig",
+    "TD3", "TD3Config",
+    "SAC", "SACConfig",
+    "common",
+]

@@ -25,6 +25,7 @@ import optax
 from flax import linen as nn
 from flax import struct
 
+from freerl_tpu.algos.base import OffPolicyAlgo
 from freerl_tpu.algos.common import c51_project, polyak
 from freerl_tpu.core.types import DimInfo, Transition
 from freerl_tpu.nets.mlp import Dense
@@ -110,7 +111,7 @@ class DQNState:
     step: jnp.ndarray
 
 
-class DQN:
+class DQN(OffPolicyAlgo):
     """Functional DQN: static config in the object, dynamic state in
     :class:`DQNState`. API parity: select_action / evaluate_action / update
     mirror the reference's select_action / evaluate_action / learn."""
@@ -291,8 +292,7 @@ class DQN:
             return PERBuffer.create(self.cfg.buffer_size, example)
         return ReplayBuffer.create(self.cfg.buffer_size, example)
 
-    def explore(self, state: DQNState, obs, key, total_env_steps,
-                random_steps: int = 0):
+    def explore(self, state: DQNState, obs, key, ctx):
         """Epsilon-greedy (or pure noisy-net) exploration, batched.
 
         Mirrors the reference's action branch (DQN_file/DQN.py:296-310):
@@ -305,9 +305,11 @@ class DQN:
         eps = self.cfg.explore_epsilon
         use_rand = jax.random.uniform(k_e, (b,)) < eps
         action = jnp.where(use_rand, rand, greedy)
-        if random_steps > 0:
-            action = jnp.where(total_env_steps < random_steps, rand, action)
-        return action
+        if ctx.random_steps > 0:
+            action = jnp.where(
+                ctx.total_env_steps < ctx.random_steps, rand, action
+            )
+        return state, action
 
     def learn_step(self, state: DQNState, buffer, key, num_envs: int):
         """Sample (uniform / PER / n-step) + update + priority write-back,

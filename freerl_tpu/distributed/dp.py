@@ -104,7 +104,15 @@ def dp_env_learner_step(env: Env, algo, mesh: Mesh, envs_per_device: int,
         k_act, k_step, k_learn = jax.random.split(k, 3)
         buffer = jax.tree.map(lambda x: x[0], buffer)  # strip device axis
 
-        action = algo.explore(algo_state, obs, k_act, _BIG, 0)
+        from freerl_tpu.algos.base import ExploreCtx
+
+        ctx = ExploreCtx(
+            total_env_steps=_BIG,
+            episodes=jnp.int32(0),
+            done_prev=jnp.zeros((envs_per_device,), jnp.bool_),
+            random_steps=0,
+        )
+        algo_state, action = algo.explore(algo_state, obs, k_act, ctx)
         out = vec_step_auto_reset(env, env_state, action, k_step,
                                   envs_per_device)
         trans = Transition(

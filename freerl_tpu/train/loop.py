@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from freerl_tpu.algos.base import ExploreCtx
 from freerl_tpu.core.types import Transition
 from freerl_tpu.envs.base import Env, vec_reset, vec_step_auto_reset
 
@@ -55,6 +56,7 @@ class LoopCarry:
     obs: jnp.ndarray
     key: jax.Array
     ep_return: jnp.ndarray        # (num_envs,)
+    done_prev: jnp.ndarray        # (num_envs,) episode ended last step
     ep_counter: jnp.ndarray       # scalar int32, completed episodes
     episode_returns: jnp.ndarray  # (capacity,) chronological return record
     total_steps: jnp.ndarray      # scalar int32, vector steps so far
@@ -103,6 +105,7 @@ def train_offpolicy(env: Env, algo, cfg: OffPolicyConfig,
         obs=obs,
         key=k_loop,
         ep_return=jnp.zeros((num_envs,), jnp.float32),
+        done_prev=jnp.zeros((num_envs,), jnp.bool_),
         ep_counter=jnp.int32(0),
         episode_returns=jnp.zeros((record_cap,), jnp.float32),
         total_steps=jnp.int32(0),
@@ -113,17 +116,25 @@ def train_offpolicy(env: Env, algo, cfg: OffPolicyConfig,
         k, k_act, k_step, k_learn = jax.random.split(carry.key, 4)
         total_env_steps = carry.total_steps * num_envs
 
-        action = algo.explore(
-            carry.algo_state, carry.obs, k_act, total_env_steps,
-            cfg.random_steps,
+        ctx = ExploreCtx(
+            total_env_steps=total_env_steps,
+            episodes=carry.ep_counter,
+            done_prev=carry.done_prev,
+            random_steps=cfg.random_steps,
+        )
+        algo_state, action = algo.explore(
+            carry.algo_state, carry.obs, k_act, ctx
         )
         out = vec_step_auto_reset(env, carry.env_state, action, k_step,
                                   num_envs)
+        algo_state, next_obs, carry_obs = algo.process_obs(
+            algo_state, out.next_obs, out.carry_obs
+        )
         trans = Transition(
             obs=carry.obs,
             action=action,
             reward=out.reward,
-            next_obs=out.next_obs,
+            next_obs=next_obs,
             done=out.terminated,
             episode_done=out.episode_done,
         )
@@ -149,7 +160,7 @@ def train_offpolicy(env: Env, algo, cfg: OffPolicyConfig,
         )
 
         def burst(args):
-            algo_state, buf, k = args
+            algo_state, buf, k = args  # noqa: F811 — shadows outer on purpose
 
             def one(i, acc):
                 s, b = acc
@@ -166,7 +177,7 @@ def train_offpolicy(env: Env, algo, cfg: OffPolicyConfig,
             do_learn,
             burst,
             lambda args: (args[0], args[1]),
-            (carry.algo_state, buffer, k_learn),
+            (algo_state, buffer, k_learn),
         )
         update_count = carry.update_count + jnp.where(
             do_learn, cfg.updates_per_burst, 0
@@ -176,9 +187,10 @@ def train_offpolicy(env: Env, algo, cfg: OffPolicyConfig,
             algo_state=algo_state,
             buffer=buffer,
             env_state=out.state,
-            obs=out.carry_obs,
+            obs=carry_obs,
             key=k,
             ep_return=ep_return,
+            done_prev=dones,
             ep_counter=ep_counter,
             episode_returns=episode_returns,
             total_steps=total_steps,

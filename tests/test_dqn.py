@@ -99,10 +99,16 @@ def test_trick_combos_compile_and_step(trick):
 
 
 def test_explore_epsilon_mixes_random():
+    from freerl_tpu.algos.base import ExploreCtx
+
     algo = DQN(DI, DQNConfig(epsilon=1.0))
     state = algo.init(jax.random.PRNGKey(0))
     obs = jnp.zeros((256, 4))
-    a = algo.explore(state, obs, jax.random.PRNGKey(1), 10_000)
+    ctx = ExploreCtx(
+        total_env_steps=jnp.int32(10_000), episodes=jnp.int32(0),
+        done_prev=jnp.zeros((256,), jnp.bool_), random_steps=0,
+    )
+    _, a = algo.explore(state, obs, jax.random.PRNGKey(1), ctx)
     # epsilon=1 -> uniform random: both actions present
     counts = np.bincount(np.asarray(a), minlength=2)
     assert counts.min() > 50
