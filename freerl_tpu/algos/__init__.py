@@ -2,6 +2,8 @@ from freerl_tpu.algos.dqn import DQN, DQNConfig
 from freerl_tpu.algos.ddpg import DDPG, DDPGConfig
 from freerl_tpu.algos.td3 import TD3, TD3Config
 from freerl_tpu.algos.sac import SAC, SACConfig
+from freerl_tpu.algos.ppo import PPO, PPOConfig
+from freerl_tpu.algos.reinforce import REINFORCE, REINFORCEConfig
 from freerl_tpu.algos import common
 
 __all__ = [
@@ -9,5 +11,7 @@ __all__ = [
     "DDPG", "DDPGConfig",
     "TD3", "TD3Config",
     "SAC", "SACConfig",
+    "PPO", "PPOConfig",
+    "REINFORCE", "REINFORCEConfig",
     "common",
 ]

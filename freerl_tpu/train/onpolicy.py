@@ -1,0 +1,154 @@
+"""On-policy (PPO-family) training driver.
+
+Replaces the reference's horizon-gated python loop (PPO_file/PPO.py:428-459)
+with a jitted rollout scan + fused update: each iteration collects
+``horizon`` transitions across the vectorized env batch with ``lax.scan``,
+then runs the full K-epoch minibatch update — two XLA programs per
+iteration, no per-step host traffic.
+
+Reference conventions preserved: episode returns are logged on RAW env
+rewards while the stored rewards pass through reward_norm/reward_scaling
+(PPO_with_tricks.py), and obs normalization updates during collection.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from freerl_tpu.algos.ppo import Rollout
+from freerl_tpu.envs.base import Env, vec_reset, vec_step_auto_reset
+
+
+@dataclasses.dataclass(frozen=True)
+class OnPolicyConfig:
+    seed: int = 0
+    num_envs: int = 8
+    max_episodes: int = 200
+    max_env_steps: int = 50_000_000
+    horizon: int = 2048             # total transitions per update
+    log_every_iters: int = 10
+
+
+@struct.dataclass
+class OnPolicyCarry:
+    algo_state: object
+    env_state: object
+    obs: jnp.ndarray
+    key: jax.Array
+    ep_return: jnp.ndarray
+    ep_counter: jnp.ndarray
+    episode_returns: jnp.ndarray
+    total_steps: jnp.ndarray
+
+
+def train_onpolicy(env: Env, algo, cfg: OnPolicyConfig,
+                   on_iter: Optional[Callable] = None):
+    """``algo`` must expose sample_action / process_obs / process_reward /
+    update (see freerl_tpu/algos/ppo.py). Returns
+    (algo_state, episode_returns, info)."""
+    num_envs = cfg.num_envs
+    T = max(cfg.horizon // num_envs, 1)
+    record_cap = cfg.max_episodes + num_envs + 1
+
+    key = jax.random.PRNGKey(cfg.seed)
+    k_algo, k_env, k_loop = jax.random.split(key, 3)
+    algo_state = algo.init(k_algo)
+    env_state, obs = vec_reset(env, k_env, num_envs)
+    algo_state, _, obs = algo.process_obs(algo_state, obs, obs)
+
+    carry = OnPolicyCarry(
+        algo_state=algo_state,
+        env_state=env_state,
+        obs=obs,
+        key=k_loop,
+        ep_return=jnp.zeros((num_envs,), jnp.float32),
+        ep_counter=jnp.int32(0),
+        episode_returns=jnp.zeros((record_cap,), jnp.float32),
+        total_steps=jnp.int32(0),
+    )
+
+    def rollout_step(carry: OnPolicyCarry, _):
+        k, k_act, k_step = jax.random.split(carry.key, 3)
+        env_a, stored_a, logp = algo.sample_action(
+            carry.algo_state, carry.obs, k_act
+        )
+        out = vec_step_auto_reset(env, carry.env_state, env_a, k_step,
+                                  num_envs)
+        algo_state, reward = algo.process_reward(
+            carry.algo_state, out.reward, out.episode_done
+        )
+        algo_state, next_obs, carry_obs = algo.process_obs(
+            algo_state, out.next_obs, out.carry_obs
+        )
+
+        # episode accounting on RAW rewards
+        ret = carry.ep_return + out.reward
+        dones = out.episode_done
+        offs = jnp.cumsum(dones.astype(jnp.int32)) - 1
+        slot = jnp.where(dones, carry.ep_counter + offs, record_cap)
+        episode_returns = carry.episode_returns.at[slot].set(
+            ret, mode="drop"
+        )
+        ep_counter = carry.ep_counter + jnp.sum(dones.astype(jnp.int32))
+        ep_return = jnp.where(dones, 0.0, ret)
+
+        step_data = Rollout(
+            obs=carry.obs,
+            action=stored_a,
+            log_pi=logp,
+            reward=reward,
+            next_obs=next_obs,
+            done=out.terminated,
+            adv_done=out.episode_done,
+        )
+        new_carry = OnPolicyCarry(
+            algo_state=algo_state,
+            env_state=out.state,
+            obs=carry_obs,
+            key=k,
+            ep_return=ep_return,
+            ep_counter=ep_counter,
+            episode_returns=episode_returns,
+            total_steps=carry.total_steps + 1,
+        )
+        return new_carry, step_data
+
+    @jax.jit
+    def run_iteration(carry: OnPolicyCarry):
+        carry, rollout = jax.lax.scan(rollout_step, carry, None, length=T)
+        k, k_upd = jax.random.split(carry.key)
+        algo_state, metrics = algo.update(
+            carry.algo_state, rollout, k_upd, episodes=carry.ep_counter
+        )
+        carry = carry.replace(algo_state=algo_state, key=k)
+        return carry, metrics
+
+    t0 = time.time()
+    it = 0
+    while True:
+        carry, metrics = run_iteration(carry)
+        it += 1
+        n_eps = int(carry.ep_counter)
+        n_steps = int(carry.total_steps) * num_envs
+        if on_iter is not None and it % cfg.log_every_iters == 0:
+            on_iter(it, n_eps, n_steps, carry, metrics)
+        if n_eps >= cfg.max_episodes or n_steps >= cfg.max_env_steps:
+            break
+
+    elapsed = time.time() - t0
+    n_eps = int(carry.ep_counter)
+    returns = np.asarray(carry.episode_returns)[: min(n_eps, cfg.max_episodes)]
+    info = {
+        "elapsed_s": elapsed,
+        "env_steps": n_steps,
+        "iterations": it,
+        "env_steps_per_s": n_steps / max(elapsed, 1e-9),
+        "episodes": n_eps,
+    }
+    return carry.algo_state, returns, info
