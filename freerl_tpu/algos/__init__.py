@@ -4,6 +4,8 @@ from freerl_tpu.algos.td3 import TD3, TD3Config
 from freerl_tpu.algos.sac import SAC, SACConfig
 from freerl_tpu.algos.ppo import PPO, PPOConfig
 from freerl_tpu.algos.reinforce import REINFORCE, REINFORCEConfig
+from freerl_tpu.algos.maddpg import MADDPG, MADDPGConfig, MATD3
+from freerl_tpu.algos.masac import MASAC, MASACConfig
 from freerl_tpu.algos import common
 
 __all__ = [
@@ -13,5 +15,7 @@ __all__ = [
     "SAC", "SACConfig",
     "PPO", "PPOConfig",
     "REINFORCE", "REINFORCEConfig",
+    "MADDPG", "MADDPGConfig", "MATD3",
+    "MASAC", "MASACConfig",
     "common",
 ]
