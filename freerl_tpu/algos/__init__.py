@@ -6,6 +6,9 @@ from freerl_tpu.algos.ppo import PPO, PPOConfig
 from freerl_tpu.algos.reinforce import REINFORCE, REINFORCEConfig
 from freerl_tpu.algos.maddpg import MADDPG, MADDPGConfig, MATD3
 from freerl_tpu.algos.masac import MASAC, MASACConfig
+from freerl_tpu.algos.mappo import IPPO, MAPPO, MAPPOConfig
+from freerl_tpu.algos.happo import HAPPO, HAPPOConfig
+from freerl_tpu.algos.mat import MAT, MATConfig
 from freerl_tpu.algos import common
 
 __all__ = [
@@ -17,5 +20,8 @@ __all__ = [
     "REINFORCE", "REINFORCEConfig",
     "MADDPG", "MADDPGConfig", "MATD3",
     "MASAC", "MASACConfig",
+    "MAPPO", "MAPPOConfig", "IPPO",
+    "HAPPO", "HAPPOConfig",
+    "MAT", "MATConfig",
     "common",
 ]

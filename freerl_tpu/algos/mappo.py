@@ -1,0 +1,453 @@
+"""MAPPO (12-trick set) and IPPO on the agent-axis rollout.
+
+Parity surface (MAPPO_file/MAPPO.py, MAPPO_discrete.py, IPPO.py):
+  - separated parameters: per-agent actor over own obs; per-agent
+    CENTRALIZED V-critic over concat of all agents' obs (Critic:188-218);
+  - joint GAE over agent-stacked rewards (learn:357-386) — each agent's
+    surrogate broadcasts its scalar ratio against the (mb, n_agents)
+    advantage, and its critic output is repeated across the agent axis
+    against the joint v_target (:415-436), exactly as the reference does;
+  - trick set {adv_norm, ObsNorm, reward_norm, reward_scaling,
+    orthogonal_init (calculated gain), adam_eps (merged Adam eps 1e-5,
+    Agent:230), lr_decay, ValueClip, huber_loss (delta 10), LayerNorm,
+    feature_norm} (:600-607);
+  - hyperparams: horizon 256, minibatch 256, K_epochs 15, gamma 0.95,
+    clip 0.2, entropy 0.01 (:573-597); converged lr 5e-4
+    (README.md:149-158);
+  - IPPO (IPPO.py): per-agent critic on OWN obs, per-agent GAE on own
+    reward — for competitive envs (simple_adversary/tag).
+
+The agent loop unrolls at trace time; the full learn (GAE + per-agent
+K-epoch minibatch loops) is one jitted program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+from flax import struct
+
+from freerl_tpu.algos.common import huber as huber_fn
+from freerl_tpu.core.normalization import RewardScaling, RunningMeanStd
+from freerl_tpu.core.types import DimInfo
+from freerl_tpu.envs.base import Env
+from freerl_tpu.nets import distributions as D
+from freerl_tpu.nets.mlp import Dense
+
+
+class MLPTrunk(nn.Module):
+    """Hidden trunk with the MAPPO LayerNorm / feature_norm tricks."""
+
+    hidden: Sequence[int]
+    orthogonal: bool = False
+    layer_norm: bool = False
+    feature_norm: bool = False
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x):
+        act = jnp.tanh if self.activation == "tanh" else nn.relu
+        scheme = "orthogonal" if self.orthogonal else "torch"
+        if self.feature_norm:
+            x = nn.LayerNorm()(x)
+        for h in self.hidden:
+            x = Dense(h, scheme=scheme)(x)
+            if self.layer_norm:
+                x = nn.LayerNorm()(x)
+            x = act(x)
+        return x
+
+
+class AgentActor(nn.Module):
+    action_dim: int
+    is_continue: bool
+    hidden: Sequence[int] = (128, 128)
+    orthogonal: bool = False
+    layer_norm: bool = False
+    feature_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = MLPTrunk(self.hidden, self.orthogonal, self.layer_norm,
+                     self.feature_norm)(x)
+        scheme = "orthogonal" if self.orthogonal else "torch"
+        out = Dense(self.action_dim, scheme=scheme, gain=0.01)(x)
+        if not self.is_continue:
+            return out  # logits
+        mean = jnp.tanh(out)
+        log_std = self.param(
+            "log_std", nn.initializers.zeros_init(), (self.action_dim,)
+        )
+        return mean, jnp.broadcast_to(log_std, mean.shape)
+
+
+class AgentVCritic(nn.Module):
+    hidden: Sequence[int] = (128, 128)
+    orthogonal: bool = False
+    layer_norm: bool = False
+    feature_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = MLPTrunk(self.hidden, self.orthogonal, self.layer_norm,
+                     self.feature_norm)(x)
+        scheme = "orthogonal" if self.orthogonal else "torch"
+        return Dense(1, scheme=scheme, gain=1.0)(x).squeeze(-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class MAPPOConfig:
+    actor_lr: float = 5e-4
+    critic_lr: float = 5e-4
+    gamma: float = 0.95
+    lmbda: float = 0.95
+    clip_param: float = 0.2
+    K_epochs: int = 15
+    entropy_coefficient: float = 0.01
+    horizon: int = 256
+    minibatch_size: int = 256
+    hidden: Sequence[int] = (128, 128)
+    num_envs: int = 1
+    huber_delta: float = 10.0
+    independent: bool = False       # IPPO mode
+    # tricks (MAPPO.py:600-607)
+    adv_norm: bool = False
+    obs_norm: bool = False
+    reward_norm: bool = False
+    reward_scaling: bool = False
+    orthogonal_init: bool = False
+    adam_eps: bool = False          # merged Adam eps 1e-5
+    lr_decay: bool = False
+    lr_decay_episodes: int = 200
+    value_clip: bool = False
+    huber_loss: bool = False
+    layer_norm: bool = False
+    feature_norm: bool = False
+    axis_name: Optional[str] = None
+
+
+@struct.dataclass
+class MAPPOState:
+    actor_params: tuple
+    critic_params: tuple
+    opt_states: tuple
+    obs_rms: RunningMeanStd
+    rew_rms: RunningMeanStd
+    rew_scale: RewardScaling
+    step: jnp.ndarray
+
+
+@struct.dataclass
+class MARollout:
+    obs: jnp.ndarray        # (T, N, A, O_pad)
+    action: jnp.ndarray     # (T, N, A, act) or (T, N, A) ints
+    log_pi: jnp.ndarray     # (T, N, A)
+    reward: jnp.ndarray     # (T, N, A)
+    next_obs: jnp.ndarray
+    done: jnp.ndarray       # (T, N)
+    adv_done: jnp.ndarray   # (T, N)
+
+
+class MAPPO:
+    def __init__(self, env: Env, cfg: MAPPOConfig = MAPPOConfig()):
+        self.cfg = cfg
+        self.n_agents = env.n_agents
+        self.obs_dims = tuple(env.agent_obs_dims)
+        self.act_dims = tuple(env.agent_act_dims)
+        self.is_continue = env.dim_info.is_continue
+        self.obs_pad = env.dim_info.obs_dim
+        hid = tuple(cfg.hidden)
+        kw = dict(
+            hidden=hid, orthogonal=cfg.orthogonal_init,
+            layer_norm=cfg.layer_norm, feature_norm=cfg.feature_norm,
+        )
+        self.actors = [
+            AgentActor(self.act_dims[i], self.is_continue, **kw)
+            for i in range(self.n_agents)
+        ]
+        self.critics = [AgentVCritic(**kw) for _ in range(self.n_agents)]
+        eps = 1e-5 if cfg.adam_eps else 1e-8
+        self.tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=cfg.actor_lr, eps=eps
+        )
+
+    # ------------------------------------------------------------------
+    def _agent_obs(self, obs, i):
+        return obs[..., i, : self.obs_dims[i]]
+
+    def _critic_input(self, obs, i):
+        if self.cfg.independent:
+            return self._agent_obs(obs, i)
+        return jnp.concatenate(
+            [self._agent_obs(obs, j) for j in range(self.n_agents)], axis=-1
+        )
+
+    def init(self, key: jax.Array) -> MAPPOState:
+        keys = jax.random.split(key, 2 * self.n_agents)
+        a_params, c_params, opts = [], [], []
+        for i in range(self.n_agents):
+            a_params.append(self.actors[i].init(
+                keys[2 * i], jnp.zeros((1, self.obs_dims[i]))
+            )["params"])
+            cdim = (
+                self.obs_dims[i] if self.cfg.independent
+                else sum(self.obs_dims)
+            )
+            c_params.append(self.critics[i].init(
+                keys[2 * i + 1], jnp.zeros((1, cdim))
+            )["params"])
+            opts.append(self.tx.init(
+                {"actor": a_params[-1], "critic": c_params[-1]}
+            ))
+        return MAPPOState(
+            actor_params=tuple(a_params),
+            critic_params=tuple(c_params),
+            opt_states=tuple(opts),
+            obs_rms=RunningMeanStd.create((self.n_agents, self.obs_pad)),
+            rew_rms=RunningMeanStd.create((self.n_agents,)),
+            rew_scale=RewardScaling.create(
+                self.cfg.num_envs * self.n_agents, self.cfg.gamma
+            ),
+            step=jnp.int32(0),
+        )
+
+    # ------------------------------------------------------------------
+    def _logp_ent(self, params, obs_i, action_i, i):
+        out = self.actors[i].apply({"params": params}, obs_i)
+        if not self.is_continue:
+            return (
+                D.categorical_log_prob(out, action_i),
+                D.categorical_entropy(out),
+            )
+        mean, log_std = out
+        std = jnp.exp(log_std)
+        return (
+            D.normal_log_prob(mean, std, action_i),
+            D.normal_entropy(std),
+        )
+
+    def sample_action(self, state: MAPPOState, obs, key):
+        """obs (..., A, O_pad) -> (env_action, stored, logp (..., A))."""
+        env_as, stored, logps = [], [], []
+        for i in range(self.n_agents):
+            k = jax.random.fold_in(key, i)
+            out = self.actors[i].apply(
+                {"params": state.actor_params[i]}, self._agent_obs(obs, i)
+            )
+            if not self.is_continue:
+                a = jax.random.categorical(k, out)
+                logp = D.categorical_log_prob(out, a)
+                env_as.append(a)
+                stored.append(a)
+            else:
+                mean, log_std = out
+                std = jnp.exp(log_std)
+                a = D.normal_sample(k, mean, std)
+                logp = D.normal_log_prob(mean, std, a)
+                env_as.append(jnp.clip(a, -1.0, 1.0))
+                stored.append(a)
+            logps.append(logp)
+        stack = lambda xs: jnp.stack(xs, axis=-2 if self.is_continue else -1)
+        return stack(env_as), stack(stored), jnp.stack(logps, axis=-1)
+
+    def evaluate_action(self, state: MAPPOState, obs):
+        outs = []
+        for i in range(self.n_agents):
+            out = self.actors[i].apply(
+                {"params": state.actor_params[i]}, self._agent_obs(obs, i)
+            )
+            if not self.is_continue:
+                outs.append(jnp.argmax(out, axis=-1))
+            else:
+                outs.append(out[0])
+        return jnp.stack(outs, axis=-2 if self.is_continue else -1)
+
+    # trick hooks -------------------------------------------------------
+    def process_obs(self, state: MAPPOState, next_obs, carry_obs):
+        if not self.cfg.obs_norm:
+            return state, next_obs, carry_obs
+        rms = state.obs_rms.update(next_obs)
+        return (
+            state.replace(obs_rms=rms),
+            rms.normalize(next_obs),
+            rms.normalize(carry_obs),
+        )
+
+    def process_reward(self, state: MAPPOState, reward, episode_done):
+        if self.cfg.reward_scaling:
+            flat = reward.reshape(-1)
+            ep = jnp.broadcast_to(
+                episode_done[:, None], reward.shape
+            ).reshape(-1)
+            rs, scaled = state.rew_scale(flat, ep)
+            return state.replace(rew_scale=rs), scaled.reshape(reward.shape)
+        if self.cfg.reward_norm:
+            rms = state.rew_rms.update(reward)
+            return state.replace(rew_rms=rms), rms.normalize(reward)
+        return state, reward
+
+    # ------------------------------------------------------------------
+    def update(self, state: MAPPOState, rollout: MARollout, key,
+               episodes=None):
+        cfg = self.cfg
+        A = self.n_agents
+        T, N = rollout.reward.shape[:2]
+        B = T * N
+        mb = min(cfg.minibatch_size, B)
+        n_mb = B // mb
+
+        # per-agent values over the joint (or own) obs
+        vs = jnp.stack([
+            self.critics[i].apply(
+                {"params": state.critic_params[i]},
+                self._critic_input(rollout.obs, i),
+            )
+            for i in range(A)
+        ], axis=-1)                                    # (T, N, A)
+        vs_next = jnp.stack([
+            self.critics[i].apply(
+                {"params": state.critic_params[i]},
+                self._critic_input(rollout.next_obs, i),
+            )
+            for i in range(A)
+        ], axis=-1)
+
+        done = rollout.done.astype(jnp.float32)[..., None]
+        adv_done = rollout.adv_done.astype(jnp.float32)[..., None]
+        deltas = rollout.reward + cfg.gamma * (1.0 - done) * vs_next - vs
+
+        def scan_fn(g, x):
+            d, ad = x
+            g = d + cfg.gamma * cfg.lmbda * (1.0 - ad) * g
+            return g, g
+
+        _, adv = jax.lax.scan(
+            scan_fn, jnp.zeros_like(deltas[0]), (deltas, adv_done),
+            reverse=True,
+        )
+        v_target = adv + vs
+        if cfg.adv_norm:
+            adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
+
+        obs_f = rollout.obs.reshape((B, A, -1))
+        act_f = (
+            rollout.action.reshape((B, A, -1))
+            if self.is_continue else rollout.action.reshape((B, A))
+        )
+        logp_old_f = rollout.log_pi.reshape((B, A))
+        adv_f = jax.lax.stop_gradient(adv.reshape((B, A)))
+        vt_f = jax.lax.stop_gradient(v_target.reshape((B, A)))
+
+        if cfg.lr_decay and episodes is not None:
+            frac = jnp.maximum(
+                1.0 - episodes.astype(jnp.float32) / cfg.lr_decay_episodes,
+                1e-3,
+            )
+        else:
+            frac = 1.0
+
+        actor_params = list(state.actor_params)
+        critic_params = list(state.critic_params)
+        opt_states = list(state.opt_states)
+
+        for i in range(A):
+            act_i = act_f[:, i] if not self.is_continue else act_f[:, i, : self.act_dims[i]]
+
+            def loss_fn(params, idx):
+                logp, ent = self._logp_ent(
+                    params["actor"], self._agent_obs(obs_f[idx], i),
+                    act_i[idx], i,
+                )
+                ratio = jnp.exp(logp - logp_old_f[idx, i])
+                if cfg.independent:
+                    adv_i = adv_f[idx, i]
+                else:
+                    adv_i = adv_f[idx]            # (mb, A): joint broadcast
+                    ratio = ratio[:, None]
+                surr1 = ratio * adv_i
+                surr2 = jnp.clip(
+                    ratio, 1 - cfg.clip_param, 1 + cfg.clip_param
+                ) * adv_i
+                actor_loss = -jnp.mean(jnp.minimum(surr1, surr2)) - (
+                    cfg.entropy_coefficient * jnp.mean(ent)
+                )
+                v = self.critics[i].apply(
+                    {"params": params["critic"]},
+                    self._critic_input(obs_f[idx], i),
+                )
+                if cfg.independent:
+                    vt = vt_f[idx, i]
+                else:
+                    v = v[:, None]                # repeat over agent axis
+                    vt = vt_f[idx]
+                if cfg.value_clip:
+                    vt_clip = jnp.clip(
+                        vt, v - cfg.clip_param, v + cfg.clip_param
+                    )
+                    if cfg.huber_loss:
+                        c1 = jnp.mean(huber_fn(vt - v, cfg.huber_delta))
+                        c2 = jnp.mean(huber_fn(vt_clip - v, cfg.huber_delta))
+                    else:
+                        c1 = jnp.mean(jnp.square(vt - v))
+                        c2 = jnp.mean(jnp.square(vt_clip - v))
+                    critic_loss = jnp.maximum(c1, c2)
+                elif cfg.huber_loss:
+                    critic_loss = jnp.mean(huber_fn(vt - v, cfg.huber_delta))
+                else:
+                    critic_loss = jnp.mean(jnp.square(vt - v))
+                return actor_loss + critic_loss
+
+            def epoch_body(e, carry):
+                params, opt_state, k = carry
+                k, k_perm = jax.random.split(k)
+                perm = jax.random.permutation(k_perm, B)
+
+                def mb_body(m, inner):
+                    params, opt_state = inner
+                    idx = jax.lax.dynamic_slice_in_dim(perm, m * mb, mb)
+                    grads = jax.grad(loss_fn)(params, idx)
+                    if cfg.axis_name is not None:
+                        grads = jax.lax.pmean(grads, cfg.axis_name)
+                    opt_state.hyperparams["learning_rate"] = (
+                        cfg.actor_lr * frac
+                    )
+                    updates, opt_state = self.tx.update(
+                        grads, opt_state, params
+                    )
+                    return optax.apply_updates(params, updates), opt_state
+
+                params, opt_state = jax.lax.fori_loop(
+                    0, n_mb, mb_body, (params, opt_state)
+                )
+                return params, opt_state, k
+
+            params = {"actor": actor_params[i], "critic": critic_params[i]}
+            params, opt_state, _ = jax.lax.fori_loop(
+                0, cfg.K_epochs, epoch_body,
+                (params, opt_states[i], jax.random.fold_in(key, i)),
+            )
+            actor_params[i] = params["actor"]
+            critic_params[i] = params["critic"]
+            opt_states[i] = opt_state
+
+        new_state = state.replace(
+            actor_params=tuple(actor_params),
+            critic_params=tuple(critic_params),
+            opt_states=tuple(opt_states),
+            step=state.step + 1,
+        )
+        return new_state, {"adv_mean": jnp.mean(adv_f)}
+
+
+def IPPO(env: Env, cfg: MAPPOConfig = None) -> MAPPO:
+    """Independent PPO (MAPPO_file/IPPO.py): per-agent critic on own obs,
+    per-agent GAE — for competitive MPE scenarios."""
+    if cfg is None:
+        cfg = MAPPOConfig(independent=True)
+    else:
+        cfg = dataclasses.replace(cfg, independent=True)
+    return MAPPO(env, cfg)

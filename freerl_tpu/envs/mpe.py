@@ -62,6 +62,7 @@ class MPEBase(Env):
     accel: np.ndarray       # force multiplier per agent (mass*accel)
     max_speed: np.ndarray   # <=0 means unlimited
     act_dim = 5
+    action_space_01 = True  # env box is [0,1]; policies act in [-1,1]
 
     @property
     def n_entities(self):
@@ -89,9 +90,15 @@ class MPEBase(Env):
     def observation(self, state):
         return self._observations(state)
 
+    continuous_actions: bool = True
+
     def step(self, state: MPEState, actions, key):
-        """actions: (n_agents, 5) in [0,1] (continuous_actions=True)."""
-        a = jnp.clip(actions, 0.0, 1.0)
+        """actions: (n_agents, 5) in [0,1] (continuous_actions=True) or
+        (n_agents,) discrete indices {0:noop, 1:+x, 2:-x, 3:+y, 4:-y}."""
+        if self.continuous_actions:
+            a = jnp.clip(actions, 0.0, 1.0)
+        else:
+            a = jax.nn.one_hot(actions.astype(jnp.int32), 5)
         u = jnp.stack([a[:, 1] - a[:, 2], a[:, 3] - a[:, 4]], axis=-1)
         forces = jnp.zeros((self.n_entities, 2))
         forces = forces.at[: self.n_agents].set(
@@ -155,7 +162,9 @@ class SimpleSpread(MPEBase):
 
     name = "simple_spread_v3"
 
-    def __init__(self, N: int = 3, local_ratio: float = 0.5):
+    def __init__(self, N: int = 3, local_ratio: float = 0.5,
+                 continuous_actions: bool = True):
+        self.continuous_actions = continuous_actions
         self.n_agents = N
         self.local_ratio = local_ratio
         n = N + N  # N agents + N landmarks
@@ -168,8 +177,8 @@ class SimpleSpread(MPEBase):
         self.agent_obs_dims = (obs_dim,) * N
         self.agent_act_dims = (self.act_dim,) * N
         self.dim_info = DimInfo(
-            obs_dim=obs_dim, action_dim=self.act_dim, is_continue=True,
-            max_action=1.0,
+            obs_dim=obs_dim, action_dim=self.act_dim,
+            is_continue=continuous_actions, max_action=1.0,
         )
 
     def _reset_world(self, key):
@@ -228,7 +237,8 @@ class SimpleAdversary(MPEBase):
 
     name = "simple_adversary_v3"
 
-    def __init__(self, N: int = 2):
+    def __init__(self, N: int = 2, continuous_actions: bool = True):
+        self.continuous_actions = continuous_actions
         self.n_good = N
         self.n_agents = N + 1       # adversary first (pettingzoo order)
         n_lm = 2
@@ -248,7 +258,7 @@ class SimpleAdversary(MPEBase):
         self.agent_act_dims = (self.act_dim,) * self.n_agents
         self.dim_info = DimInfo(
             obs_dim=max(adv_dim, good_dim), action_dim=self.act_dim,
-            is_continue=True, max_action=1.0,
+            is_continue=continuous_actions, max_action=1.0,
         )
 
     def _reset_world(self, key):
@@ -305,7 +315,9 @@ class SimpleTag(MPEBase):
 
     name = "simple_tag_v3"
 
-    def __init__(self, num_good: int = 1, num_adversaries: int = 3):
+    def __init__(self, num_good: int = 1, num_adversaries: int = 3,
+                 continuous_actions: bool = True):
+        self.continuous_actions = continuous_actions
         self.n_adv = num_adversaries
         self.n_good = num_good
         self.n_agents = num_adversaries + num_good
@@ -334,7 +346,7 @@ class SimpleTag(MPEBase):
         self.agent_act_dims = (self.act_dim,) * self.n_agents
         self.dim_info = DimInfo(
             obs_dim=max(adv_dim, good_dim), action_dim=self.act_dim,
-            is_continue=True, max_action=1.0,
+            is_continue=continuous_actions, max_action=1.0,
         )
 
     def _reset_world(self, key):

@@ -55,6 +55,13 @@ def train_onpolicy(env: Env, algo, cfg: OnPolicyConfig,
     num_envs = cfg.num_envs
     T = max(cfg.horizon // num_envs, 1)
     record_cap = cfg.max_episodes + num_envs + 1
+    n_agents = getattr(env, "n_agents", 1)
+    rew_shape = (num_envs, n_agents) if n_agents > 1 else (num_envs,)
+    rec_shape = (record_cap, n_agents) if n_agents > 1 else (record_cap,)
+    # MPE-style envs expect actions in [0,1]; policies act in [-1,1]
+    remap01 = (
+        getattr(env, "action_space_01", False) and env.dim_info.is_continue
+    )
 
     key = jax.random.PRNGKey(cfg.seed)
     k_algo, k_env, k_loop = jax.random.split(key, 3)
@@ -67,9 +74,9 @@ def train_onpolicy(env: Env, algo, cfg: OnPolicyConfig,
         env_state=env_state,
         obs=obs,
         key=k_loop,
-        ep_return=jnp.zeros((num_envs,), jnp.float32),
+        ep_return=jnp.zeros(rew_shape, jnp.float32),
         ep_counter=jnp.int32(0),
-        episode_returns=jnp.zeros((record_cap,), jnp.float32),
+        episode_returns=jnp.zeros(rec_shape, jnp.float32),
         total_steps=jnp.int32(0),
     )
 
@@ -78,6 +85,8 @@ def train_onpolicy(env: Env, algo, cfg: OnPolicyConfig,
         env_a, stored_a, logp = algo.sample_action(
             carry.algo_state, carry.obs, k_act
         )
+        if remap01:
+            env_a = (env_a + 1.0) / 2.0
         out = vec_step_auto_reset(env, carry.env_state, env_a, k_step,
                                   num_envs)
         algo_state, reward = algo.process_reward(
@@ -96,7 +105,8 @@ def train_onpolicy(env: Env, algo, cfg: OnPolicyConfig,
             ret, mode="drop"
         )
         ep_counter = carry.ep_counter + jnp.sum(dones.astype(jnp.int32))
-        ep_return = jnp.where(dones, 0.0, ret)
+        dmask = dones[:, None] if n_agents > 1 else dones
+        ep_return = jnp.where(dmask, 0.0, ret)
 
         step_data = Rollout(
             obs=carry.obs,

@@ -1,0 +1,129 @@
+"""MAPPO / IPPO / HAPPO / MAT on MPE: unit + end-to-end learning."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from freerl_tpu.algos.happo import HAPPO, HAPPOConfig
+from freerl_tpu.algos.mappo import IPPO, MAPPO, MAPPOConfig
+from freerl_tpu.algos.mat import MAT, MATConfig
+from freerl_tpu.algos.ppo import Rollout
+from freerl_tpu.envs import make
+from freerl_tpu.train.onpolicy import OnPolicyConfig, train_onpolicy
+
+
+def _rollout(key, env, algo, T=8, N=4):
+    A = env.n_agents
+    O = env.dim_info.obs_dim
+    ks = jax.random.split(key, 4)
+    if env.dim_info.is_continue:
+        action = jax.random.uniform(ks[0], (T, N, A, 5), jnp.float32, -1, 1)
+        logp = jax.random.normal(ks[2], (T, N, A)) * 0.1 - 1.6
+        if isinstance(algo, MAT):
+            logp = jax.random.normal(ks[2], (T, N, A, 5)) * 0.1 - 1.6
+    else:
+        action = jax.random.randint(ks[0], (T, N, A), 0, 5)
+        logp = jax.random.normal(ks[2], (T, N, A)) * 0.1 - 1.6
+    return Rollout(
+        obs=jax.random.normal(ks[1], (T, N, A, O)),
+        action=action,
+        log_pi=logp,
+        reward=jax.random.normal(ks[3], (T, N, A)),
+        next_obs=jax.random.normal(ks[1], (T, N, A, O)),
+        done=jnp.zeros((T, N), jnp.bool_),
+        adv_done=jnp.zeros((T, N), jnp.bool_),
+    )
+
+
+@pytest.mark.parametrize(
+    "env_name,make_algo",
+    [
+        ("simple_spread_v3", lambda e: MAPPO(e, MAPPOConfig(K_epochs=2))),
+        ("simple_spread_v3", lambda e: MAPPO(e, MAPPOConfig(
+            K_epochs=2, adv_norm=True, obs_norm=True, reward_scaling=True,
+            orthogonal_init=True, adam_eps=True, lr_decay=True,
+            value_clip=True, huber_loss=True, layer_norm=True,
+            feature_norm=True, num_envs=4))),
+        ("simple_adversary_v3", lambda e: IPPO(e, MAPPOConfig(
+            K_epochs=2, independent=True))),
+        ("simple_spread_v3", lambda e: HAPPO(e, HAPPOConfig(K_epochs=2))),
+    ],
+    ids=["mappo", "mappo_12tricks", "ippo_hetero", "happo"],
+)
+def test_marl_ppo_update_runs(env_name, make_algo):
+    env = make(env_name)
+    algo = make_algo(env)
+    state = algo.init(jax.random.PRNGKey(0))
+    roll = _rollout(jax.random.PRNGKey(1), env, algo)
+    state2, metrics = jax.jit(
+        lambda s, k: algo.update(s, roll, k, episodes=jnp.int32(5))
+    )(state, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["adv_mean"]))
+    delta = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state.actor_params, state2.actor_params,
+    )
+    assert max(jax.tree.leaves(delta)) > 0
+    # action sampling shapes
+    obs = jnp.zeros((4, env.n_agents, env.dim_info.obs_dim))
+    env_a, stored, logp = algo.sample_action(state2, obs, jax.random.PRNGKey(3))
+    assert logp.shape == (4, env.n_agents)
+
+
+@pytest.mark.parametrize("discrete", [True, False], ids=["disc", "cont"])
+def test_mat_update_runs(discrete):
+    env = make("simple_spread_v3", continuous_actions=not discrete)
+    algo = MAT(env, MATConfig(K_epochs=2))
+    state = algo.init(jax.random.PRNGKey(0))
+    roll = _rollout(jax.random.PRNGKey(1), env, algo)
+    state2, metrics = jax.jit(
+        lambda s, k: algo.update(s, roll, k, episodes=jnp.int32(5))
+    )(state, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["adv_mean"]))
+    obs = jnp.zeros((4, env.n_agents, env.dim_info.obs_dim))
+    env_a, stored, logp = algo.sample_action(state2, obs, jax.random.PRNGKey(3))
+    if discrete:
+        assert stored.shape == (4, 3) and logp.shape == (4, 3)
+    else:
+        assert stored.shape == (4, 3, 5) and logp.shape == (4, 3, 5)
+    det = algo.evaluate_action(state2, obs)
+    assert det.shape == stored.shape
+
+
+def test_mat_autoregressive_consistency():
+    """Teacher-forced logp of sampled actions == autoregressive logp."""
+    env = make("simple_spread_v3", continuous_actions=False)
+    algo = MAT(env, MATConfig())
+    state = algo.init(jax.random.PRNGKey(0))
+    obs = jax.random.normal(jax.random.PRNGKey(1), (6, 3, 18))
+    _, actions, logp_ar = algo.sample_action(state, obs, jax.random.PRNGKey(2))
+    params = {"enc": state.enc_params, "dec": state.dec_params}
+    logp_tf, _, _ = algo._parallel_logp_ent_v(params, obs, actions)
+    np.testing.assert_allclose(
+        np.asarray(logp_ar), np.asarray(logp_tf.squeeze(-1)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_happo_factor_changes_with_updates():
+    env = make("simple_spread_v3")
+    algo = HAPPO(env, HAPPOConfig(K_epochs=3, actor_lr=1e-3))
+    state = algo.init(jax.random.PRNGKey(0))
+    roll = _rollout(jax.random.PRNGKey(1), env, algo, T=16, N=4)
+    _, metrics = jax.jit(
+        lambda s, k: algo.update(s, roll, k)
+    )(state, jax.random.PRNGKey(2))
+    # factor must move away from exactly 1 after sequential updates
+    assert abs(float(metrics["factor_mean"]) - 1.0) > 1e-5
+
+
+def test_mappo_learns_simple_spread():
+    env = make("simple_spread_v3")
+    algo = MAPPO(env, MAPPOConfig(num_envs=8, horizon=512, K_epochs=5,
+                                  minibatch_size=256, adv_norm=True))
+    cfg = OnPolicyConfig(num_envs=8, max_episodes=400, horizon=512)
+    _, returns, info = train_onpolicy(env, algo, cfg)
+    assert returns.shape[1] == 3
+    first = returns[:40].mean()
+    last = returns[-40:].mean()
+    assert last > first + 0.5, (first, last)
