@@ -9,6 +9,8 @@ from freerl_tpu.algos.masac import MASAC, MASACConfig
 from freerl_tpu.algos.mappo import IPPO, MAPPO, MAPPOConfig
 from freerl_tpu.algos.happo import HAPPO, HAPPOConfig
 from freerl_tpu.algos.mat import MAT, MATConfig
+from freerl_tpu.algos.gail import GAIL, GAILConfig, ExpertData, train_gail
+from freerl_tpu.algos.envelope import Envelope, EnvelopeConfig
 from freerl_tpu.algos import common
 
 __all__ = [
@@ -23,5 +25,7 @@ __all__ = [
     "MAPPO", "MAPPOConfig", "IPPO",
     "HAPPO", "HAPPOConfig",
     "MAT", "MATConfig",
+    "GAIL", "GAILConfig", "ExpertData", "train_gail",
+    "Envelope", "EnvelopeConfig",
     "common",
 ]

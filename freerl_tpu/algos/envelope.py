@@ -1,0 +1,298 @@
+"""ENVELOPE multi-objective Q-learning (preference-conditioned).
+
+Parity surface (ENVELOPE_MORL_file/ENVELOPE_DQN.py, Buffer.py):
+  - Q(s, w) -> (action_dim, reward_dim) vector values from a 2x256 MLP over
+    concat(obs, preference) (:36-59);
+  - acting: a fresh |randn| L1-normalized preference per step scalarizes Q
+    (:105-125);
+  - HER-like add-time priority |w.r + gamma*w.hQ - w.Q| (+1e-5) from a
+    sampled preference; priority-proportional sampling (:139-200);
+  - homotopy beta annealing beta -> 1 with the exponential schedule
+    (tau=1000, per-episode-end update, :94-101,184);
+  - learn (:210-256): batch repeated ``weight_num`` times with fresh
+    preferences, double-DQN action choice on scalarized ONLINE Q, target
+    vector Q gather, loss = beta*mse(wQ, wTQ) + (1-beta)*mse(Q, TQ),
+    grad-clip 1.0, polyak target;
+  - vector rewards in the replay ring (MO_Buffer) — here the standard HBM
+    Transition ring already carries (reward_dim,) rewards.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+from flax import struct
+
+from freerl_tpu.algos.base import ExploreCtx, OffPolicyAlgo
+from freerl_tpu.algos.common import polyak
+from freerl_tpu.core.types import DimInfo, Transition
+from freerl_tpu.nets.mlp import Dense
+
+
+def random_preference(key, reward_dim, shape=()):
+    """|N(0,1)| / L1-norm — the reference's preference sampler."""
+    w = jnp.abs(jax.random.normal(key, shape + (reward_dim,)))
+    return w / jnp.sum(w, axis=-1, keepdims=True)
+
+
+class MOQNet(nn.Module):
+    action_dim: int
+    reward_dim: int
+    hidden: Sequence[int] = (256, 256)
+
+    @nn.compact
+    def __call__(self, obs, preference):
+        x = jnp.concatenate([obs, preference], axis=-1)
+        for h in self.hidden:
+            x = nn.relu(Dense(h)(x))
+        q = Dense(self.action_dim * self.reward_dim)(x)
+        return q.reshape(x.shape[:-1] + (self.action_dim, self.reward_dim))
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvelopeConfig:
+    lr: float = 1e-3
+    gamma: float = 0.99
+    tau: float = 0.01
+    batch_size: int = 256
+    buffer_size: int = 100_000
+    hidden: Sequence[int] = (256, 256)
+    epsilon: float = 0.1
+    weight_num: int = 4
+    beta_init: float = 0.01
+    beta_uplim: float = 1.0
+    homotopy_tau: float = 1000.0
+    max_episodes: int = 500
+    grad_clip: float = 1.0
+    axis_name: Optional[str] = None
+
+
+@struct.dataclass
+class EnvelopeState:
+    params: dict
+    target_params: dict
+    opt_state: optax.OptState
+    beta: jnp.ndarray
+    beta_delta: jnp.ndarray
+    step: jnp.ndarray
+
+
+@struct.dataclass
+class MOReplay:
+    """Transition ring + aligned add-time priorities."""
+
+    data: Transition
+    priorities: jnp.ndarray
+    pos: jnp.ndarray
+    size: jnp.ndarray
+    capacity: int = struct.field(pytree_node=False)
+
+
+class Envelope(OffPolicyAlgo):
+    def __init__(self, dim_info: DimInfo, reward_dim: int,
+                 cfg: EnvelopeConfig = EnvelopeConfig()):
+        assert not dim_info.is_continue
+        self.dim_info = dim_info
+        self.reward_dim = reward_dim
+        self.cfg = cfg
+        self.net = MOQNet(dim_info.action_dim, reward_dim, tuple(cfg.hidden))
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adam(cfg.lr, eps=1e-8),
+        )
+        # exponential homotopy schedule (reference :94-101)
+        self.beta_expbase = float(
+            (cfg.homotopy_tau * (cfg.beta_uplim - cfg.beta_init))
+            ** (1.0 / cfg.max_episodes)
+        )
+
+    # ------------------------------------------------------------------
+    def init(self, key: jax.Array) -> EnvelopeState:
+        obs = jnp.zeros((1, self.dim_info.obs_dim))
+        w = jnp.zeros((1, self.reward_dim))
+        params = self.net.init(key, obs, w)["params"]
+        return EnvelopeState(
+            params=params,
+            target_params=params,
+            opt_state=self.tx.init(params),
+            beta=jnp.float32(self.cfg.beta_init),
+            beta_delta=jnp.float32(self.beta_expbase / self.cfg.homotopy_tau),
+            step=jnp.int32(0),
+        )
+
+    def make_buffer(self, example: Transition) -> MOReplay:
+        cap = self.cfg.buffer_size
+        data = jax.tree.map(
+            lambda x: jnp.zeros((cap,) + jnp.shape(x), jnp.asarray(x).dtype),
+            example,
+        )
+        return MOReplay(
+            data=data,
+            priorities=jnp.zeros((cap,), jnp.float32),
+            pos=jnp.int32(0),
+            size=jnp.int32(0),
+            capacity=cap,
+        )
+
+    # ------------------------------------------------------------------
+    def _scalarized_q(self, params, obs, w):
+        q = self.net.apply({"params": params}, obs, w)   # (..., A, R)
+        return jnp.einsum("...ar,...r->...a", q, w), q
+
+    def select_action(self, state: EnvelopeState, obs, key):
+        b = obs.shape[0]
+        w = random_preference(key, self.reward_dim, (b,))
+        wq, _ = self._scalarized_q(state.params, obs, w)
+        return jnp.argmax(wq, axis=-1)
+
+    def evaluate_action(self, state: EnvelopeState, obs, preference):
+        w = jnp.broadcast_to(preference, obs.shape[:-1] + (self.reward_dim,))
+        wq, _ = self._scalarized_q(state.params, obs, w)
+        return jnp.argmax(wq, axis=-1)
+
+    def explore(self, state: EnvelopeState, obs, key, ctx: ExploreCtx):
+        k_q, k_e, k_r = jax.random.split(key, 3)
+        b = obs.shape[0]
+        greedy = self.select_action(state, obs, k_q)
+        rand = jax.random.randint(k_r, (b,), 0, self.dim_info.action_dim)
+        use_rand = jax.random.uniform(k_e, (b,)) < self.cfg.epsilon
+        action = jnp.where(use_rand, rand, greedy)
+        if ctx.random_steps > 0:
+            action = jnp.where(
+                ctx.total_env_steps < ctx.random_steps, rand, action
+            )
+        return state, action
+
+    # ------------------------------------------------------------------
+    def add_with_priority(self, state: EnvelopeState, buffer: MOReplay,
+                          batch: Transition, key):
+        """Buffer add + the reference's HER-like add-time priority
+        (ENVELOPE_DQN.py:139-190) + per-episode homotopy beta step."""
+        cfg = self.cfg
+        b = batch.reward.shape[0]
+        w = random_preference(key, self.reward_dim, (b,))
+        q = self.net.apply({"params": state.params}, batch.obs, w)
+        q_a = jnp.take_along_axis(
+            q, batch.action.reshape(-1, 1, 1).astype(jnp.int32).repeat(
+                self.reward_dim, axis=2
+            ), axis=1,
+        ).squeeze(1)                                         # (B, R)
+        wq = jnp.sum(w * q_a, axis=-1)
+        wr = jnp.sum(w * batch.reward, axis=-1)
+        next_q = self.net.apply({"params": state.params}, batch.next_obs, w)
+        scal = jnp.einsum("bar,br->ba", next_q, w)
+        inds = jnp.argmax(scal, axis=-1)
+        hq = jnp.take_along_axis(
+            next_q, inds.reshape(-1, 1, 1).repeat(self.reward_dim, axis=2),
+            axis=1,
+        ).squeeze(1)
+        whq = jnp.sum(w * hq, axis=-1)
+        done = batch.done.astype(jnp.float32)
+        p = jnp.abs(
+            wr + (1.0 - done) * cfg.gamma * whq - wq
+        ) + 1e-5
+
+        idx = (buffer.pos + jnp.arange(b)) % buffer.capacity
+        data = jax.tree.map(
+            lambda buf, new: buf.at[idx].set(new), buffer.data, batch
+        )
+        priorities = buffer.priorities.at[idx].set(p)
+        buffer = buffer.replace(
+            data=data,
+            priorities=priorities,
+            pos=(buffer.pos + b) % buffer.capacity,
+            size=jnp.minimum(buffer.size + b, buffer.capacity),
+        )
+        # homotopy beta advances at episode ends (:184-186)
+        n_done = jnp.sum(batch.episode_done.astype(jnp.float32))
+
+        new_beta = jnp.minimum(
+            state.beta + state.beta_delta, cfg.beta_uplim
+        )
+        new_delta = (
+            (new_beta - cfg.beta_init) * self.beta_expbase
+            + cfg.beta_init - new_beta
+        )
+        beta = jnp.where(n_done > 0, new_beta, state.beta)
+        beta_delta = jnp.where(n_done > 0, new_delta, state.beta_delta)
+        return state.replace(beta=beta, beta_delta=beta_delta), buffer
+
+    # loop hook: the generic driver routes adds through the algo so the
+    # add-time priority and homotopy schedule run in-graph
+    add_transition = add_with_priority
+
+    def sample(self, buffer: MOReplay, key, batch_size):
+        logits = jnp.where(
+            jnp.arange(buffer.capacity) < buffer.size,
+            jnp.log(buffer.priorities + 1e-12),
+            -jnp.inf,
+        )
+        idx = jax.random.categorical(key, logits, shape=(batch_size,))
+        return jax.tree.map(lambda x: x[idx], buffer.data)
+
+    # ------------------------------------------------------------------
+    def update(self, state: EnvelopeState, batch: Transition, key):
+        cfg = self.cfg
+        B = batch.reward.shape[0]
+        W = cfg.weight_num
+        rep = lambda x: jnp.concatenate([x] * W, axis=0)
+        obs = rep(batch.obs)
+        actions = rep(batch.action.reshape(-1)).astype(jnp.int32)
+        rewards = rep(batch.reward)
+        next_obs = rep(batch.next_obs)
+        dones = rep(batch.done.astype(jnp.float32))
+
+        w = random_preference(key, self.reward_dim, (W,))
+        w = jnp.repeat(w, B, axis=0)                        # (B*W, R)
+
+        # double-DQN: online scalarized argmax, target vector gather
+        tmp_q = self.net.apply({"params": state.params}, next_obs, w)
+        scal = jnp.einsum("bar,br->ba", tmp_q, w)
+        next_actions = jnp.argmax(scal, axis=-1)
+        next_q_t = self.net.apply(
+            {"params": state.target_params}, next_obs, w
+        )
+        hq = jnp.take_along_axis(
+            next_q_t,
+            next_actions.reshape(-1, 1, 1).repeat(self.reward_dim, axis=2),
+            axis=1,
+        ).squeeze(1)                                        # (B*W, R)
+        target_q = rewards + cfg.gamma * hq * (1.0 - dones[:, None])
+        target_q = jax.lax.stop_gradient(target_q)
+        wtq = jnp.sum(w * target_q, axis=-1)
+
+        def loss_fn(params):
+            q = self.net.apply({"params": params}, obs, w)
+            q_a = jnp.take_along_axis(
+                q, actions.reshape(-1, 1, 1).repeat(self.reward_dim, axis=2),
+                axis=1,
+            ).squeeze(1)
+            wq = jnp.sum(w * q_a, axis=-1)
+            aux = jnp.mean(jnp.square(wq - wtq))
+            main = jnp.mean(jnp.square(q_a - target_q))
+            return state.beta * aux + (1.0 - state.beta) * main
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if cfg.axis_name is not None:
+            grads = jax.lax.pmean(grads, cfg.axis_name)
+        updates, opt_state = self.tx.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params,
+            target_params=polyak(state.target_params, params, cfg.tau),
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss, "beta": state.beta}, None
+
+    def learn_step(self, state, buffer, key, num_envs: int):
+        k_s, k_u = jax.random.split(key)
+        batch = self.sample(buffer, k_s, self.cfg.batch_size)
+        state, metrics, _ = self.update(state, batch, k_u)
+        return state, buffer, metrics

@@ -78,6 +78,12 @@ def _register_extras():
         _REGISTRY.setdefault("BipedalWalker-v3", BipedalWalker)
     except ImportError:
         pass
+    try:
+        from freerl_tpu.envs.mo import DeepSeaTreasure  # noqa
+
+        _REGISTRY.setdefault("deep-sea-treasure-v0", DeepSeaTreasure)
+    except ImportError:
+        pass
 
 
 _register_extras()

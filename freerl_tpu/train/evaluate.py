@@ -58,7 +58,9 @@ def evaluate(env: Env, act_fn, n_episodes: int = 100, seed0: int = 0,
             if multi_agent:
                 ret = ret + r * alive[:, None]
             else:
-                ret = ret + r * alive
+                # vector (multi-objective) rewards scalarize by sum
+                r_scalar = r.sum(axis=-1) if r.ndim > 1 else r
+                ret = ret + r_scalar * alive
             done = done | term | trunc
             # freeze finished episodes
             state = jax.tree.map(

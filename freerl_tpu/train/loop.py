@@ -69,10 +69,13 @@ def _example_transition(env: Env) -> Transition:
         action = jnp.zeros((di.action_dim,), jnp.float32)
     else:
         action = jnp.zeros((), jnp.int32)
+    # multi-objective envs carry vector rewards (reward_dim > 1)
+    rdim = getattr(env, "reward_dim", 1)
+    reward = jnp.zeros((rdim,) if rdim > 1 else (), jnp.float32)
     return Transition(
         obs=jnp.zeros((di.obs_dim,), jnp.float32),
         action=action,
-        reward=jnp.zeros((), jnp.float32),
+        reward=reward,
         next_obs=jnp.zeros((di.obs_dim,), jnp.float32),
         done=jnp.zeros((), jnp.bool_),
         episode_done=jnp.zeros((), jnp.bool_),
@@ -138,10 +141,21 @@ def train_offpolicy(env: Env, algo, cfg: OffPolicyConfig,
             done=out.terminated,
             episode_done=out.episode_done,
         )
-        buffer = carry.buffer.add(trans)
+        if hasattr(algo, "add_transition"):
+            # algo-mediated add (e.g. ENVELOPE's add-time priorities)
+            algo_state, buffer = algo.add_transition(
+                algo_state, carry.buffer, trans,
+                jax.random.fold_in(k, 13),
+            )
+        else:
+            buffer = carry.buffer.add(trans)
 
         # episode accounting: scatter finished returns chronologically
-        ret = carry.ep_return + out.reward
+        # (vector rewards — MORL — are scalarized by sum for the record)
+        step_reward = (
+            out.reward.sum(axis=-1) if out.reward.ndim > 1 else out.reward
+        )
+        ret = carry.ep_return + step_reward
         dones = out.episode_done
         offs = jnp.cumsum(dones.astype(jnp.int32)) - 1
         slot = jnp.where(dones, carry.ep_counter + offs, record_cap)
