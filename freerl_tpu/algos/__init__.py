@@ -6,6 +6,7 @@ from freerl_tpu.algos.ppo import PPO, PPOConfig
 from freerl_tpu.algos.reinforce import REINFORCE, REINFORCEConfig
 from freerl_tpu.algos.maddpg import MADDPG, MADDPGConfig, MATD3
 from freerl_tpu.algos.masac import MASAC, MASACConfig
+from freerl_tpu.algos.maac import MAAC, MAACConfig
 from freerl_tpu.algos.mappo import IPPO, MAPPO, MAPPOConfig
 from freerl_tpu.algos.happo import HAPPO, HAPPOConfig
 from freerl_tpu.algos.mat import MAT, MATConfig
@@ -22,6 +23,7 @@ __all__ = [
     "REINFORCE", "REINFORCEConfig",
     "MADDPG", "MADDPGConfig", "MATD3",
     "MASAC", "MASACConfig",
+    "MAAC", "MAACConfig",
     "MAPPO", "MAPPOConfig", "IPPO",
     "HAPPO", "HAPPOConfig",
     "MAT", "MATConfig",

@@ -29,6 +29,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 import optax
+from flax import linen as nn
 from flax import struct
 
 from freerl_tpu.algos.base import ExploreCtx, OffPolicyAlgo
@@ -37,6 +38,53 @@ from freerl_tpu.algos.ddpg import QCritic, TanhActor
 from freerl_tpu.algos.td3 import TwinQCritic
 from freerl_tpu.core.types import Transition
 from freerl_tpu.envs.base import Env
+
+
+class ATTCritic(nn.Module):
+    """ATT-MADDPG attention critic (MADDPG_file/ATT.py:14-60).
+
+    Encoder: embeddings of ALL agents' obs plus the OWN action feed a
+    hidden state projected through ``head_count`` parallel heads (keys);
+    decoder: the OTHER agents' action embeddings form the query; softmax
+    over heads weights the contextual vector that produces Q.
+    """
+
+    obs_dims: Sequence[int]
+    act_dims: Sequence[int]
+    agent_idx: int
+    hidden_dim: int = 128
+    head_count: int = 8
+
+    @nn.compact
+    def __call__(self, obs_list, act_list):
+        i = self.agent_idx
+        A = len(self.obs_dims)
+        obs_embs = [
+            nn.relu(nn.Dense(self.hidden_dim, name=f"fc_obs_{j}")(
+                obs_list[j]
+            ))
+            for j in range(A)
+        ]
+        act_embs = [
+            nn.relu(nn.Dense(self.hidden_dim, name=f"fc_act_{j}")(
+                act_list[j]
+            ))
+            for j in range(A)
+        ]
+        enc_in = jnp.concatenate(obs_embs + [act_embs[i]], axis=-1)
+        h = nn.relu(nn.Dense(self.hidden_dim, name="fc_enc")(enc_in))
+        heads = jnp.stack([
+            nn.relu(nn.Dense(self.hidden_dim, name=f"head_{k}")(h))
+            for k in range(self.head_count)
+        ], axis=0)                                   # (H, B, D)
+        dec_in = jnp.concatenate(
+            [act_embs[j] for j in range(A) if j != i], axis=-1
+        )
+        query = nn.relu(nn.Dense(self.hidden_dim, name="fc_dec")(dec_in))
+        scores = jnp.sum(heads * query[None], axis=-1)        # (H, B)
+        w = jax.nn.softmax(scores.T, axis=-1)                 # (B, H)
+        context = jnp.einsum("hbd,bh->bd", heads, w)
+        return nn.Dense(1, name="fc_q")(context).squeeze(-1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +107,9 @@ class MADDPGConfig:
     policy_noise_sigma: float = 0.2
     noise_clip: float = 0.5
     policy_freq: int = 2
+    # ATT-MADDPG trick ({'ATT'} in MADDPG_simple_with_tricks.py:95-96)
+    att_critic: bool = False
+    att_heads: int = 8
     axis_name: Optional[str] = None
 
 
@@ -85,8 +136,16 @@ class MADDPG(OffPolicyAlgo):
             TanhActor(self.act_dims[i], hid, 1.0)
             for i in range(self.n_agents)
         ]
-        critic_cls = TwinQCritic if cfg.twin else QCritic
-        self.critics = [critic_cls(hid) for _ in range(self.n_agents)]
+        if cfg.att_critic:
+            assert not cfg.twin, "ATT critic is the single-Q variant"
+            self.critics = [
+                ATTCritic(self.obs_dims, self.act_dims, i,
+                          head_count=cfg.att_heads)
+                for i in range(self.n_agents)
+            ]
+        else:
+            critic_cls = TwinQCritic if cfg.twin else QCritic
+            self.critics = [critic_cls(hid) for _ in range(self.n_agents)]
         self.actor_tx = optax.adam(cfg.actor_lr, eps=1e-8)
         self.critic_tx = optax.adam(cfg.critic_lr, eps=1e-8)
 
@@ -113,12 +172,21 @@ class MADDPG(OffPolicyAlgo):
                     keys[2 * i], jnp.zeros((1, self.obs_dims[i]))
                 )["params"]
             )
-            c_params.append(
-                self.critics[i].init(
-                    keys[2 * i + 1],
-                    jnp.zeros((1, g_obs)), jnp.zeros((1, g_act)),
-                )["params"]
-            )
+            if self.cfg.att_critic:
+                c_params.append(
+                    self.critics[i].init(
+                        keys[2 * i + 1],
+                        [jnp.zeros((1, d)) for d in self.obs_dims],
+                        [jnp.zeros((1, d)) for d in self.act_dims],
+                    )["params"]
+                )
+            else:
+                c_params.append(
+                    self.critics[i].init(
+                        keys[2 * i + 1],
+                        jnp.zeros((1, g_obs)), jnp.zeros((1, g_act)),
+                    )["params"]
+                )
         return MADDPGState(
             actor_params=tuple(a_params),
             actor_targets=tuple(a_params),
@@ -134,6 +202,15 @@ class MADDPG(OffPolicyAlgo):
         return self.actors[i].apply({"params": params}, obs_i)
 
     def _critic_apply(self, params, obs, actions, i):
+        if self.cfg.att_critic:
+            obs_list = [
+                self._agent_obs(obs, j) for j in range(self.n_agents)
+            ]
+            act_list = [
+                actions[..., j, :] for j in range(self.n_agents)
+            ]
+            return self.critics[i].apply({"params": params}, obs_list,
+                                         act_list)
         g_obs = jnp.concatenate(
             [self._agent_obs(obs, j) for j in range(self.n_agents)], axis=-1
         )

@@ -85,6 +85,48 @@ class AgentActor(nn.Module):
         return mean, jnp.broadcast_to(log_std, mean.shape)
 
 
+class SharedAttnVCritics(nn.Module):
+    """MAPPO_attention's centralized critics: per-agent obs encoders, ONE
+    shared attention block across agents (MAPPO_file/MAPPO_attention.py
+    :250-254, attention.py:85-135), per-agent V heads.
+
+    Returns (B, A) values for all agents in one call.
+    """
+
+    obs_dims: Sequence[int]
+    attention_dim: int = 128
+    num_heads: int = 4
+    hidden: int = 128
+
+    def setup(self):
+        from freerl_tpu.algos.maac import SharedAttention
+
+        A = len(self.obs_dims)
+        self.attn = SharedAttention(self.attention_dim, self.num_heads)
+        self.encoders = [
+            Dense(self.attention_dim, name=f"enc_{i}") for i in range(A)
+        ]
+        self.fc1 = [Dense(self.hidden, name=f"fc1_{i}") for i in range(A)]
+        self.heads = [Dense(1, name=f"v_{i}") for i in range(A)]
+
+    def __call__(self, obs_list):
+        A = len(self.obs_dims)
+        embs = [
+            nn.leaky_relu(self.encoders[i](obs_list[i])) for i in range(A)
+        ]
+        vs = []
+        for i in range(A):
+            others = jnp.stack(
+                [embs[j] for j in range(A) if j != i], axis=1
+            )
+            attn_out = self.attn(embs[i][:, None, :], others)
+            h = nn.relu(self.fc1[i](jnp.concatenate(
+                [embs[i], attn_out], axis=-1
+            )))
+            vs.append(self.heads[i](h).squeeze(-1))
+        return jnp.stack(vs, axis=-1)
+
+
 class AgentVCritic(nn.Module):
     hidden: Sequence[int] = (128, 128)
     orthogonal: bool = False
@@ -127,6 +169,16 @@ class MAPPOConfig:
     huber_loss: bool = False
     layer_norm: bool = False
     feature_norm: bool = False
+    # MAPPO_attention's improvement={'attention': True}: the centralized
+    # critics share one attention block over per-agent obs embeddings
+    attention: bool = False
+    attention_heads: int = 4
+    # mask-action mode (MAPPO_for_mask_action.py CategoricalMasked :191):
+    # the env appends the 0/1 availability mask to each agent's obs
+    # (envs/masked.py); invalid logits are pushed to -1e8 and their
+    # entropy terms zeroed
+    masked: bool = False
+    mask_dim: int = 0
     axis_name: Optional[str] = None
 
 
@@ -169,7 +221,14 @@ class MAPPO:
             AgentActor(self.act_dims[i], self.is_continue, **kw)
             for i in range(self.n_agents)
         ]
-        self.critics = [AgentVCritic(**kw) for _ in range(self.n_agents)]
+        if cfg.attention:
+            assert not cfg.independent, "attention critic is centralized"
+            self.att_critics = SharedAttnVCritics(
+                self.obs_dims, num_heads=cfg.attention_heads
+            )
+            self.critics = None
+        else:
+            self.critics = [AgentVCritic(**kw) for _ in range(self.n_agents)]
         eps = 1e-5 if cfg.adam_eps else 1e-8
         self.tx = optax.inject_hyperparams(optax.adam)(
             learning_rate=cfg.actor_lr, eps=eps
@@ -186,6 +245,9 @@ class MAPPO:
             [self._agent_obs(obs, j) for j in range(self.n_agents)], axis=-1
         )
 
+    def _obs_list(self, obs):
+        return [self._agent_obs(obs, j) for j in range(self.n_agents)]
+
     def init(self, key: jax.Array) -> MAPPOState:
         keys = jax.random.split(key, 2 * self.n_agents)
         a_params, c_params, opts = [], [], []
@@ -193,13 +255,21 @@ class MAPPO:
             a_params.append(self.actors[i].init(
                 keys[2 * i], jnp.zeros((1, self.obs_dims[i]))
             )["params"])
-            cdim = (
-                self.obs_dims[i] if self.cfg.independent
-                else sum(self.obs_dims)
-            )
-            c_params.append(self.critics[i].init(
-                keys[2 * i + 1], jnp.zeros((1, cdim))
-            )["params"])
+            if self.cfg.attention:
+                # one shared attention-critic tree, carried in slot 0
+                c_params.append(
+                    self.att_critics.init(
+                        keys[1], [jnp.zeros((1, d)) for d in self.obs_dims]
+                    )["params"] if i == 0 else {}
+                )
+            else:
+                cdim = (
+                    self.obs_dims[i] if self.cfg.independent
+                    else sum(self.obs_dims)
+                )
+                c_params.append(self.critics[i].init(
+                    keys[2 * i + 1], jnp.zeros((1, cdim))
+                )["params"])
             opts.append(self.tx.init(
                 {"actor": a_params[-1], "critic": c_params[-1]}
             ))
@@ -219,6 +289,13 @@ class MAPPO:
     def _logp_ent(self, params, obs_i, action_i, i):
         out = self.actors[i].apply({"params": params}, obs_i)
         if not self.is_continue:
+            if self.cfg.masked:
+                mask = obs_i[..., -self.cfg.mask_dim:]
+                out = D.masked_logits(out, mask)
+                return (
+                    D.categorical_log_prob(out, action_i),
+                    D.masked_categorical_entropy(out, mask),
+                )
             return (
                 D.categorical_log_prob(out, action_i),
                 D.categorical_entropy(out),
@@ -239,6 +316,10 @@ class MAPPO:
                 {"params": state.actor_params[i]}, self._agent_obs(obs, i)
             )
             if not self.is_continue:
+                if self.cfg.masked:
+                    out = D.masked_logits(
+                        out, self._agent_obs(obs, i)[..., -self.cfg.mask_dim:]
+                    )
                 a = jax.random.categorical(k, out)
                 logp = D.categorical_log_prob(out, a)
                 env_as.append(a)
@@ -301,20 +382,33 @@ class MAPPO:
         n_mb = B // mb
 
         # per-agent values over the joint (or own) obs
-        vs = jnp.stack([
-            self.critics[i].apply(
-                {"params": state.critic_params[i]},
-                self._critic_input(rollout.obs, i),
-            )
-            for i in range(A)
-        ], axis=-1)                                    # (T, N, A)
-        vs_next = jnp.stack([
-            self.critics[i].apply(
-                {"params": state.critic_params[i]},
-                self._critic_input(rollout.next_obs, i),
-            )
-            for i in range(A)
-        ], axis=-1)
+        if cfg.attention:
+            vs = self.att_critics.apply(
+                {"params": state.critic_params[0]},
+                self._obs_list(rollout.obs.reshape((-1, A,
+                                                    rollout.obs.shape[-1]))),
+            ).reshape(T, N, A)
+            vs_next = self.att_critics.apply(
+                {"params": state.critic_params[0]},
+                self._obs_list(rollout.next_obs.reshape(
+                    (-1, A, rollout.next_obs.shape[-1])
+                )),
+            ).reshape(T, N, A)
+        else:
+            vs = jnp.stack([
+                self.critics[i].apply(
+                    {"params": state.critic_params[i]},
+                    self._critic_input(rollout.obs, i),
+                )
+                for i in range(A)
+            ], axis=-1)                                # (T, N, A)
+            vs_next = jnp.stack([
+                self.critics[i].apply(
+                    {"params": state.critic_params[i]},
+                    self._critic_input(rollout.next_obs, i),
+                )
+                for i in range(A)
+            ], axis=-1)
 
         done = rollout.done.astype(jnp.float32)[..., None]
         adv_done = rollout.adv_done.astype(jnp.float32)[..., None]
@@ -375,15 +469,26 @@ class MAPPO:
                 actor_loss = -jnp.mean(jnp.minimum(surr1, surr2)) - (
                     cfg.entropy_coefficient * jnp.mean(ent)
                 )
-                v = self.critics[i].apply(
-                    {"params": params["critic"]},
-                    self._critic_input(obs_f[idx], i),
-                )
-                if cfg.independent:
-                    vt = vt_f[idx, i]
+                if cfg.attention:
+                    if i == 0:
+                        # shared attention critic trains once, jointly
+                        v = self.att_critics.apply(
+                            {"params": params["critic"]},
+                            self._obs_list(obs_f[idx]),
+                        )                          # (mb, A)
+                        vt = vt_f[idx]
+                    else:
+                        return actor_loss          # actor-only for i > 0
                 else:
-                    v = v[:, None]                # repeat over agent axis
-                    vt = vt_f[idx]
+                    v = self.critics[i].apply(
+                        {"params": params["critic"]},
+                        self._critic_input(obs_f[idx], i),
+                    )
+                    if cfg.independent:
+                        vt = vt_f[idx, i]
+                    else:
+                        v = v[:, None]            # repeat over agent axis
+                        vt = vt_f[idx]
                 if cfg.value_clip:
                     vt_clip = jnp.clip(
                         vt, v - cfg.clip_param, v + cfg.clip_param

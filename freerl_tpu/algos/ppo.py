@@ -134,6 +134,12 @@ class PPOConfig:
     adam_eps: bool = False         # Adam eps 1e-5 instead of AdamW eps 1e-6
     tanh: bool = False
     beta_dist: bool = False
+    # variants (PPO_file/PPO_d.py, PPO_no_minibatch.py, PPO_std_decay.py)
+    recompute_logp: bool = False   # PPO_d: no stored log-pi; recompute
+    std_decay: bool = False        # trainable mean, externally decayed std
+    std_init: float = 0.6
+    std_min: float = 0.1
+    std_decay_episodes: int = 200
     axis_name: Optional[str] = None
 
 
@@ -146,6 +152,7 @@ class PPOState:
     rew_rms: RunningMeanStd
     rew_scale: RewardScaling
     lr_frac: jnp.ndarray          # current lr multiplier (lr_decay trick)
+    ext_std: jnp.ndarray          # externally scheduled std (std_decay)
     step: jnp.ndarray
 
 
@@ -210,11 +217,12 @@ class PPO:
             rew_rms=RunningMeanStd.create(()),
             rew_scale=RewardScaling.create(self.cfg.num_envs, self.cfg.gamma),
             lr_frac=jnp.float32(1.0),
+            ext_std=jnp.float32(self.cfg.std_init),
             step=jnp.int32(0),
         )
 
     # ------------------------------------------------------------------
-    def _dist_logp_entropy(self, params, obs, action):
+    def _dist_logp_entropy(self, params, obs, action, ext_std=None):
         if not self.dim_info.is_continue:
             logits = self.actor.apply({"params": params}, obs)
             logp = D.categorical_log_prob(logits, action)
@@ -226,7 +234,10 @@ class PPO:
             ent = D.beta_entropy(alpha, beta)
             return logp, ent
         mean, log_std = self.actor.apply({"params": params}, obs)
-        std = jnp.exp(log_std)
+        if self.cfg.std_decay and ext_std is not None:
+            std = jnp.broadcast_to(ext_std, mean.shape)
+        else:
+            std = jnp.exp(log_std)
         logp = D.normal_log_prob(mean, std, action)
         ent = D.normal_entropy(std)
         return logp, ent
@@ -246,7 +257,10 @@ class PPO:
             logp = D.beta_log_prob(alpha, beta, x)
             return D.beta_to_action(x, self.dim_info.max_action), x, logp
         mean, log_std = self.actor.apply({"params": state.actor_params}, obs)
-        std = jnp.exp(log_std)
+        if self.cfg.std_decay:
+            std = jnp.broadcast_to(state.ext_std, mean.shape)
+        else:
+            std = jnp.exp(log_std)
         a = D.normal_sample(key, mean, std)
         logp = D.normal_log_prob(mean, std, a)
         env_a = jnp.clip(
@@ -314,7 +328,14 @@ class PPO:
         flat = lambda x: x.reshape((B,) + x.shape[2:])
         obs_f = flat(rollout.obs)
         act_f = flat(rollout.action)
-        logp_old_f = flat(rollout.log_pi)
+        if cfg.recompute_logp:
+            # PPO_d: old log-probs recomputed from the pre-update policy
+            logp_old_f, _ = self._dist_logp_entropy(
+                state.actor_params, obs_f, act_f, state.ext_std
+            )
+            logp_old_f = jax.lax.stop_gradient(logp_old_f)
+        else:
+            logp_old_f = flat(rollout.log_pi)
         adv_f = jax.lax.stop_gradient(flat(adv))
         vt_f = jax.lax.stop_gradient(flat(v_target))
 
@@ -329,7 +350,7 @@ class PPO:
 
         def loss_fn(params, idx):
             logp, ent = self._dist_logp_entropy(
-                params["actor"], obs_f[idx], act_f[idx]
+                params["actor"], obs_f[idx], act_f[idx], state.ext_std
             )
             ratio = jnp.exp(logp - logp_old_f[idx])
             surr1 = ratio * adv_f[idx]
@@ -373,11 +394,19 @@ class PPO:
             0, cfg.K_epochs, epoch_body, (params, state.opt_state, key)
         )
 
+        if cfg.std_decay and episodes is not None:
+            prog = jnp.minimum(
+                episodes.astype(jnp.float32) / cfg.std_decay_episodes, 1.0
+            )
+            ext_std = cfg.std_init + (cfg.std_min - cfg.std_init) * prog
+        else:
+            ext_std = state.ext_std
         new_state = state.replace(
             actor_params=params["actor"],
             critic_params=params["critic"],
             opt_state=opt_state,
             lr_frac=frac * jnp.float32(1.0),
+            ext_std=ext_std,
             step=state.step + 1,
         )
         metrics = {

@@ -52,9 +52,14 @@ class MARLCarry:
 
 def _example_transition(env: Env) -> Transition:
     A = env.n_agents
+    action = (
+        jnp.zeros((A, env.dim_info.action_dim), jnp.float32)
+        if env.dim_info.is_continue
+        else jnp.zeros((A,), jnp.int32)
+    )
     return Transition(
         obs=jnp.zeros((A, env.dim_info.obs_dim), jnp.float32),
-        action=jnp.zeros((A, env.dim_info.action_dim), jnp.float32),
+        action=action,
         reward=jnp.zeros((A,), jnp.float32),
         next_obs=jnp.zeros((A, env.dim_info.obs_dim), jnp.float32),
         done=jnp.zeros((), jnp.bool_),
@@ -100,8 +105,10 @@ def train_marl(env: Env, algo, cfg: MARLConfig,
         )
         algo_state, action = algo.explore(
             carry.algo_state, carry.obs, k_act, ctx
-        )  # (N, A, act) in [-1, 1]
-        env_action = (action + 1.0) / 2.0
+        )  # continuous: (N, A, act) in [-1, 1]; discrete: (N, A) ints
+        env_action = (
+            (action + 1.0) / 2.0 if env.dim_info.is_continue else action
+        )
         out = vec_step_auto_reset(env, carry.env_state, env_action, k_step,
                                   num_envs)
         trans = Transition(
