@@ -19,7 +19,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 2048))
+NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))  # 4096 peaks on v5e
 CHUNK = int(os.environ.get("BENCH_CHUNK", 256))
 WARMUP_CHUNKS = 2
 MEASURE_CHUNKS = int(os.environ.get("BENCH_CHUNKS", 8))
