@@ -296,3 +296,195 @@ class Envelope(OffPolicyAlgo):
         batch = self.sample(buffer, k_s, self.cfg.batch_size)
         state, metrics, _ = self.update(state, batch, k_u)
         return state, buffer, metrics
+
+
+# ---------------------------------------------------------------------------
+class MOActor(nn.Module):
+    """Preference-conditioned tanh actor a = pi(obs, w)."""
+
+    action_dim: int
+    hidden: Sequence[int] = (256, 256)
+
+    @nn.compact
+    def __call__(self, obs, w):
+        x = jnp.concatenate([obs, w], axis=-1)
+        for h in self.hidden:
+            x = nn.relu(Dense(h)(x))
+        return jnp.tanh(Dense(self.action_dim)(x))
+
+
+class MOCritic(nn.Module):
+    """Vector critic Q(obs, a, w) -> (reward_dim,)."""
+
+    reward_dim: int
+    hidden: Sequence[int] = (256, 256)
+
+    @nn.compact
+    def __call__(self, obs, act, w):
+        x = jnp.concatenate([obs, act, w], axis=-1)
+        for h in self.hidden:
+            x = nn.relu(Dense(h)(x))
+        return Dense(self.reward_dim)(x)
+
+
+@struct.dataclass
+class EnvelopeDDPGState:
+    actor_params: dict
+    actor_target: dict
+    critic_params: dict
+    critic_target: dict
+    actor_opt: optax.OptState
+    critic_opt: optax.OptState
+    beta: jnp.ndarray
+    beta_delta: jnp.ndarray
+    step: jnp.ndarray
+
+
+class EnvelopeDDPG(OffPolicyAlgo):
+    """Continuous ENVELOPE (ENVELOPE_MORL_file/ENVELOPE_DDPG.py):
+    preference-conditioned actor + vector critic with the same homotopy
+    beta-blended scalarized/vector loss as the DQN variant."""
+
+    def __init__(self, dim_info: DimInfo, reward_dim: int,
+                 cfg: EnvelopeConfig = EnvelopeConfig()):
+        assert dim_info.is_continue
+        self.dim_info = dim_info
+        self.reward_dim = reward_dim
+        self.cfg = cfg
+        self.actor = MOActor(dim_info.action_dim, tuple(cfg.hidden))
+        self.critic = MOCritic(reward_dim, tuple(cfg.hidden))
+        self.actor_tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adam(cfg.lr, eps=1e-8),
+        )
+        self.critic_tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adam(cfg.lr, eps=1e-8),
+        )
+        self.beta_expbase = float(
+            (cfg.homotopy_tau * (cfg.beta_uplim - cfg.beta_init))
+            ** (1.0 / cfg.max_episodes)
+        )
+
+    def init(self, key: jax.Array) -> EnvelopeDDPGState:
+        ka, kc = jax.random.split(key)
+        obs = jnp.zeros((1, self.dim_info.obs_dim))
+        w = jnp.zeros((1, self.reward_dim))
+        act = jnp.zeros((1, self.dim_info.action_dim))
+        a_params = self.actor.init(ka, obs, w)["params"]
+        c_params = self.critic.init(kc, obs, act, w)["params"]
+        return EnvelopeDDPGState(
+            actor_params=a_params, actor_target=a_params,
+            critic_params=c_params, critic_target=c_params,
+            actor_opt=self.actor_tx.init(a_params),
+            critic_opt=self.critic_tx.init(c_params),
+            beta=jnp.float32(self.cfg.beta_init),
+            beta_delta=jnp.float32(self.beta_expbase / self.cfg.homotopy_tau),
+            step=jnp.int32(0),
+        )
+
+    def evaluate_action(self, state, obs, preference):
+        w = jnp.broadcast_to(preference, obs.shape[:-1] + (self.reward_dim,))
+        return self.actor.apply(
+            {"params": state.actor_params}, obs, w
+        ) * self.dim_info.max_action
+
+    def explore(self, state, obs, key, ctx: ExploreCtx):
+        k_w, k_n, k_r = jax.random.split(key, 3)
+        b = obs.shape[0]
+        max_a = self.dim_info.max_action
+        w = random_preference(k_w, self.reward_dim, (b,))
+        a = self.actor.apply({"params": state.actor_params}, obs, w) * max_a
+        noise = 0.1 * max_a * jax.random.normal(k_n, a.shape)
+        action = jnp.clip(a + noise, -max_a, max_a)
+        if ctx.random_steps > 0:
+            rand = jax.random.uniform(
+                k_r, a.shape, jnp.float32, -max_a, max_a
+            )
+            action = jnp.where(
+                ctx.total_env_steps < ctx.random_steps, rand, action
+            )
+        return state, action
+
+    def learn_step(self, state, buffer, key, num_envs: int):
+        cfg = self.cfg
+        k_s, k_w, k_u = jax.random.split(key, 3)
+        batch = buffer.sample(k_s, cfg.batch_size)
+        B = batch.reward.shape[0]
+        W = cfg.weight_num
+        rep = lambda x: jnp.concatenate([x] * W, axis=0)
+        obs = rep(batch.obs)
+        actions = rep(batch.action)
+        rewards = rep(batch.reward)
+        next_obs = rep(batch.next_obs)
+        dones = rep(batch.done.astype(jnp.float32))
+        w = jnp.repeat(
+            random_preference(k_w, self.reward_dim, (W,)), B, axis=0
+        )
+
+        next_a = self.actor.apply(
+            {"params": state.actor_target}, next_obs, w
+        )
+        hq = self.critic.apply(
+            {"params": state.critic_target}, next_obs, next_a, w
+        )
+        target_q = jax.lax.stop_gradient(
+            rewards + cfg.gamma * hq * (1.0 - dones[:, None])
+        )
+        wtq = jnp.sum(w * target_q, axis=-1)
+
+        def critic_loss_fn(params):
+            q = self.critic.apply({"params": params}, obs, actions, w)
+            wq = jnp.sum(w * q, axis=-1)
+            aux = jnp.mean(jnp.square(wq - wtq))
+            main = jnp.mean(jnp.square(q - target_q))
+            return state.beta * aux + (1.0 - state.beta) * main
+
+        closs, c_grads = jax.value_and_grad(critic_loss_fn)(
+            state.critic_params
+        )
+        if cfg.axis_name is not None:
+            c_grads = jax.lax.pmean(c_grads, cfg.axis_name)
+        c_up, critic_opt = self.critic_tx.update(
+            c_grads, state.critic_opt, state.critic_params
+        )
+        critic_params = optax.apply_updates(state.critic_params, c_up)
+
+        def actor_loss_fn(params):
+            a = self.actor.apply({"params": params}, obs, w)
+            q = self.critic.apply(
+                {"params": critic_params}, obs, a, w
+            )
+            return -jnp.mean(jnp.sum(w * q, axis=-1))
+
+        aloss, a_grads = jax.value_and_grad(actor_loss_fn)(
+            state.actor_params
+        )
+        if cfg.axis_name is not None:
+            a_grads = jax.lax.pmean(a_grads, cfg.axis_name)
+        a_up, actor_opt = self.actor_tx.update(
+            a_grads, state.actor_opt, state.actor_params
+        )
+        actor_params = optax.apply_updates(state.actor_params, a_up)
+
+        # homotopy beta advances per learn (episode granularity is handled
+        # by the DQN variant's add hook; DDPG keeps the simpler schedule)
+        new_beta = jnp.minimum(state.beta + state.beta_delta, cfg.beta_uplim)
+        new_delta = (
+            (new_beta - cfg.beta_init) * self.beta_expbase
+            + cfg.beta_init - new_beta
+        )
+        new_state = EnvelopeDDPGState(
+            actor_params=actor_params,
+            actor_target=polyak(state.actor_target, actor_params, cfg.tau),
+            critic_params=critic_params,
+            critic_target=polyak(state.critic_target, critic_params, cfg.tau),
+            actor_opt=actor_opt,
+            critic_opt=critic_opt,
+            beta=new_beta,
+            beta_delta=new_delta,
+            step=state.step + 1,
+        )
+        return new_state, buffer, {
+            "critic_loss": closs, "actor_loss": aloss, "beta": state.beta
+        }
