@@ -1,0 +1,224 @@
+"""Training CLI — the reference's L5 layer (argparse `__main__` blocks).
+
+Every reference algorithm file ends in an argparse block with the same
+vocabulary (DQN_file/DQN.py:227-253): --env_name, --seed, --max_episodes,
+--trick flags, buffer/batch sizes. This CLI is the single TPU-native
+replacement: it builds the env + algorithm from flags, runs the right
+vectorized driver, and writes the reference's artifact set (auto-numbered
+trick-named run dir, TensorBoard scalars, <Policy>_seed_<s>.npy curve,
+full-state checkpoint).
+
+Examples:
+  python -m freerl_tpu.cli --algo DQN --env_name LunarLander-v2 \
+      --trick Double Dueling --max_episodes 500 --seed 0
+  python -m freerl_tpu.cli --algo PPO --env_name Pendulum-v1 \
+      --trick adv_norm ObsNorm tanh --num_envs 16
+  python -m freerl_tpu.cli --algo MAPPO --env_name simple_spread_v3
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import numpy as np
+
+
+# trick-name -> config-field maps (preserving the reference's dict keys)
+_DQN_TRICKS = {
+    "Double": "double", "Dueling": "dueling", "PER": "per",
+    "Noisy": "noisy", "N_Step": "n_step", "Categorical": "categorical",
+}
+_PPO_TRICKS = {
+    "adv_norm": "adv_norm", "ObsNorm": "obs_norm",
+    "reward_norm": "reward_norm", "reward_scaling": "reward_scaling",
+    "lr_decay": "lr_decay", "orthogonal_init": "orthogonal_init",
+    "adam_eps": "adam_eps", "tanh": "tanh", "Beta": "beta_dist",
+}
+_MAPPO_TRICKS = {
+    "adv_norm": "adv_norm", "ObsNorm": "obs_norm",
+    "reward_norm": "reward_norm", "reward_scaling": "reward_scaling",
+    "orthogonal_init": "orthogonal_init", "adam_eps": "adam_eps",
+    "lr_decay": "lr_decay", "ValueClip": "value_clip",
+    "huber_loss": "huber_loss", "LayerNorm": "layer_norm",
+    "feature_norm": "feature_norm", "attention": "attention",
+}
+_DDPG_SUPPLEMENTS = {
+    "weight_decay": "weight_decay", "OUNoise": "ou_noise",
+    "ObsNorm": "obs_norm", "net_init": "net_init", "PopArt": "popart",
+}
+
+OFFPOLICY = {"DQN", "DDPG", "TD3", "SAC", "ENVELOPE"}
+ONPOLICY = {"PPO", "REINFORCE", "MAT"}
+MARL_OFF = {"MADDPG", "MATD3", "MASAC", "MAAC"}
+MARL_ON = {"MAPPO", "HAPPO", "IPPO"}
+
+
+def _apply_tricks(cfg, tricks, table, algo):
+    fields = {}
+    for t in tricks:
+        if t not in table:
+            raise SystemExit(
+                f"unknown trick {t!r} for {algo}; valid: {sorted(table)}"
+            )
+        field = table[t]
+        fields[field] = 3 if field == "n_step" else True
+    return dataclasses.replace(cfg, **fields)
+
+
+def build(args):
+    from freerl_tpu import algos
+    from freerl_tpu.envs import make
+
+    env_kwargs = {}
+    if args.algo in {"MAAC"} or (
+        args.algo in MARL_ON and args.discrete_actions
+    ):
+        env_kwargs["continuous_actions"] = False
+    env = make(args.env_name, dis_to_con=args.dis_to_con, **env_kwargs)
+
+    a = args.algo
+    n_envs = args.num_envs
+    if a == "DQN":
+        cfg = _apply_tricks(
+            algos.DQNConfig(buffer_size=args.buffer_size,
+                            batch_size=args.batch_size),
+            args.trick, _DQN_TRICKS, a,
+        )
+        return env, algos.DQN(env.dim_info, cfg)
+    if a == "DDPG":
+        cfg = _apply_tricks(
+            algos.DDPGConfig(buffer_size=args.buffer_size,
+                             batch_size=args.batch_size, num_envs=n_envs),
+            args.trick, _DDPG_SUPPLEMENTS, a,
+        )
+        return env, algos.DDPG(env.dim_info, cfg)
+    if a == "TD3":
+        return env, algos.TD3(env.dim_info, algos.TD3Config(
+            buffer_size=args.buffer_size, batch_size=args.batch_size,
+            num_envs=n_envs))
+    if a == "SAC":
+        return env, algos.SAC(env.dim_info, algos.SACConfig(
+            buffer_size=args.buffer_size, batch_size=args.batch_size,
+            num_envs=n_envs))
+    if a == "ENVELOPE":
+        rdim = getattr(env, "reward_dim", 2)
+        return env, algos.Envelope(env.dim_info, rdim, algos.EnvelopeConfig(
+            buffer_size=args.buffer_size, batch_size=args.batch_size,
+            max_episodes=args.max_episodes))
+    if a == "PPO":
+        cfg = _apply_tricks(
+            algos.PPOConfig(num_envs=n_envs, horizon=args.horizon),
+            args.trick, _PPO_TRICKS, a,
+        )
+        return env, algos.PPO(env.dim_info, cfg)
+    if a == "REINFORCE":
+        return env, algos.REINFORCE(env.dim_info, algos.REINFORCEConfig(
+            num_envs=n_envs))
+    if a == "MAT":
+        return env, algos.MAT(env, algos.MATConfig(num_envs=n_envs,
+                                                   horizon=args.horizon))
+    if a in {"MADDPG", "MATD3"}:
+        cfg = algos.MADDPGConfig(buffer_size=args.buffer_size,
+                                 batch_size=args.batch_size,
+                                 num_envs=n_envs,
+                                 att_critic="ATT" in args.trick)
+        ctor = algos.MATD3 if a == "MATD3" else algos.MADDPG
+        return env, ctor(env, cfg)
+    if a == "MASAC":
+        return env, algos.MASAC(env, algos.MASACConfig(
+            buffer_size=args.buffer_size, batch_size=args.batch_size,
+            num_envs=n_envs))
+    if a == "MAAC":
+        return env, algos.MAAC(env, algos.MAACConfig(
+            buffer_size=args.buffer_size, batch_size=args.batch_size,
+            num_envs=n_envs))
+    if a in MARL_ON:
+        cfg = _apply_tricks(
+            algos.MAPPOConfig(num_envs=n_envs, horizon=args.horizon),
+            args.trick, _MAPPO_TRICKS, a,
+        )
+        if a == "IPPO":
+            return env, algos.IPPO(env, cfg)
+        if a == "HAPPO":
+            hcfg = algos.HAPPOConfig(**dataclasses.asdict(cfg))
+            return env, algos.HAPPO(env, hcfg)
+        return env, algos.MAPPO(env, cfg)
+    raise SystemExit(f"unknown algo {a!r}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--algo", default="DQN")
+    p.add_argument("--env_name", default="CartPole-v1")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max_episodes", type=int, default=500)
+    p.add_argument("--num_envs", type=int, default=8)
+    p.add_argument("--start_steps", type=int, default=500)
+    p.add_argument("--random_steps", type=int, default=0)
+    p.add_argument("--updates_per_burst", type=int, default=1)
+    p.add_argument("--horizon", type=int, default=2048)
+    p.add_argument("--buffer_size", type=int, default=200_000)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--trick", nargs="*", default=[])
+    p.add_argument("--dis_to_con", action="store_true")
+    p.add_argument("--discrete_actions", action="store_true")
+    p.add_argument("--results_root", default="results")
+    p.add_argument("--no_tensorboard", action="store_true")
+    args = p.parse_args(argv)
+
+    from freerl_tpu.train import (
+        MARLConfig,
+        MetricsWriter,
+        OffPolicyConfig,
+        OnPolicyConfig,
+        make_dir,
+        save_checkpoint,
+        train_marl,
+        train_offpolicy,
+        train_onpolicy,
+    )
+
+    env, algo = build(args)
+    trick_dict = {t: True for t in args.trick}
+    model_dir = make_dir(args.results_root, args.env_name, args.algo,
+                         trick_dict)
+    print(f"model_dir: {model_dir}")
+    writer = MetricsWriter(model_dir, args.algo, args.seed,
+                           use_tensorboard=not args.no_tensorboard)
+
+    if args.algo in OFFPOLICY:
+        cfg = OffPolicyConfig(
+            seed=args.seed, num_envs=args.num_envs,
+            max_episodes=args.max_episodes, start_steps=args.start_steps,
+            random_steps=args.random_steps,
+            updates_per_burst=args.updates_per_burst,
+        )
+        state, returns, info = train_offpolicy(env, algo, cfg)
+    elif args.algo in MARL_OFF:
+        cfg = MARLConfig(
+            seed=args.seed, num_envs=args.num_envs,
+            max_episodes=args.max_episodes, start_steps=args.start_steps,
+            updates_per_burst=args.updates_per_burst,
+        )
+        state, returns, info = train_marl(env, algo, cfg)
+    else:
+        cfg = OnPolicyConfig(
+            seed=args.seed, num_envs=args.num_envs,
+            max_episodes=args.max_episodes, horizon=args.horizon,
+        )
+        state, returns, info = train_onpolicy(env, algo, cfg)
+
+    writer.log_episodes(np.asarray(returns))
+    curve_path = writer.save_curve(np.asarray(returns))
+    ckpt_path = save_checkpoint(f"{model_dir}/checkpoint", state)
+    writer.close()
+    last = np.asarray(returns)[-50:]
+    print(f"episodes: {info['episodes']}  env_steps: {info['env_steps']}  "
+          f"steps/s: {info['env_steps_per_s']:.0f}")
+    print(f"final-50 mean return: {float(np.mean(last)):.2f}")
+    print(f"curve: {curve_path}\ncheckpoint: {ckpt_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,51 @@
+"""CLI (reference L5): flag parsing, trick wiring, artifact set."""
+import os
+
+import numpy as np
+
+from freerl_tpu.cli import build, main
+
+
+class _A:
+    def __init__(self, **kw):
+        self.__dict__.update(dict(
+            algo="DQN", env_name="CartPole-v1", trick=[], dis_to_con=False,
+            discrete_actions=False, num_envs=4, buffer_size=1024,
+            batch_size=32, horizon=256, max_episodes=10,
+        ))
+        self.__dict__.update(kw)
+
+
+def test_build_wires_tricks():
+    env, algo = build(_A(trick=["Double", "PER", "N_Step"]))
+    assert algo.cfg.double and algo.cfg.per and algo.cfg.n_step == 3
+    env, algo = build(_A(algo="PPO", env_name="Pendulum-v1",
+                         trick=["adv_norm", "tanh", "Beta"]))
+    assert algo.cfg.adv_norm and algo.cfg.tanh and algo.cfg.beta_dist
+    env, algo = build(_A(algo="MAPPO", env_name="simple_spread_v3",
+                         trick=["ValueClip", "huber_loss"]))
+    assert algo.cfg.value_clip and algo.cfg.huber_loss
+    env, algo = build(_A(algo="MATD3", env_name="simple_spread_v3"))
+    assert algo.cfg.twin
+
+
+def test_build_rejects_unknown_trick():
+    import pytest
+
+    with pytest.raises(SystemExit):
+        build(_A(trick=["NotATrick"]))
+
+
+def test_cli_end_to_end(tmp_path):
+    rc = main([
+        "--algo", "DQN", "--env_name", "CartPole-v1",
+        "--max_episodes", "30", "--num_envs", "4",
+        "--buffer_size", "2048", "--results_root", str(tmp_path),
+        "--no_tensorboard",
+    ])
+    assert rc == 0
+    run_dir = tmp_path / "CartPole-v1" / "DQN_1"
+    assert (run_dir / "DQN_seed_0.npy").exists()
+    assert (run_dir / "checkpoint").exists()
+    curve = np.load(run_dir / "DQN_seed_0.npy")
+    assert len(curve) >= 30
