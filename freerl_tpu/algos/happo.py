@@ -17,8 +17,6 @@ no recompilation while per-agent parameter pytrees stay heterogeneous.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax

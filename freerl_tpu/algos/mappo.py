@@ -33,7 +33,6 @@ from flax import struct
 
 from freerl_tpu.algos.common import huber as huber_fn
 from freerl_tpu.core.normalization import RewardScaling, RunningMeanStd
-from freerl_tpu.core.types import DimInfo
 from freerl_tpu.envs.base import Env
 from freerl_tpu.nets import distributions as D
 from freerl_tpu.nets.mlp import Dense

@@ -100,6 +100,15 @@ class SACConfig:
     buffer_size: int = 1_000_000
     hidden: Sequence[int] = (128, 128)
     num_envs: int = 1
+    # exploration-noise addon (the reference's OUNoise/gauss tricks — the
+    # committed MountainCarContinuous curve is SAC+OUNoise)
+    ou_noise: bool = False
+    ou_theta: float = 0.15
+    ou_sigma: float = 1.0
+    ou_dt: float = 1.0
+    noise_init_scale: Optional[float] = 1.0
+    noise_final_scale: float = 0.0
+    noise_decay_episodes: int = 500
     axis_name: Optional[str] = None
 
 
@@ -113,6 +122,7 @@ class SACState:
     actor_opt: optax.OptState
     critic_opt: optax.OptState
     alpha_opt: optax.OptState
+    ou_state: jnp.ndarray
     step: jnp.ndarray
 
 
@@ -154,6 +164,11 @@ class SAC(OffPolicyAlgo):
             actor_opt=self.actor_tx.init(actor_params),
             critic_opt=self.critic_tx.init(critic_params),
             alpha_opt=self.alpha_tx.init(log_alpha),
+            ou_state=jnp.zeros(
+                (self.cfg.num_envs,
+                 self.dim_info.action_dim if self.dim_info.is_continue
+                 else 1)
+            ),
             step=jnp.int32(0),
         )
 
@@ -179,8 +194,32 @@ class SAC(OffPolicyAlgo):
         return jnp.argmax(logits, axis=-1)
 
     def explore(self, state: SACState, obs, key, ctx: ExploreCtx):
-        k_a, k_r = jax.random.split(key)
+        k_a, k_r, k_n = jax.random.split(key, 3)
         action = self.select_action(state, obs, k_a)
+        if self.cfg.ou_noise and self.dim_info.is_continue:
+            cfg = self.cfg
+            ou = jnp.where(ctx.done_prev[:, None], 0.0, state.ou_state)
+            dx = cfg.ou_theta * (0.0 - ou) + jnp.sqrt(cfg.ou_dt) * (
+                cfg.ou_sigma * jax.random.normal(k_n, ou.shape)
+            )
+            ou = ou + dx
+            if cfg.noise_init_scale is None:
+                scale = 1.0
+            else:
+                remaining = jnp.maximum(
+                    0.0,
+                    (cfg.noise_decay_episodes
+                     - ctx.episodes.astype(jnp.float32))
+                    / cfg.noise_decay_episodes,
+                )
+                scale = cfg.noise_final_scale + (
+                    cfg.noise_init_scale - cfg.noise_final_scale
+                ) * remaining
+            action = jnp.clip(
+                action + ou * scale,
+                -self.dim_info.max_action, self.dim_info.max_action,
+            )
+            state = state.replace(ou_state=ou)
         if ctx.random_steps > 0:
             b = obs.shape[0]
             if self.dim_info.is_continue:
@@ -275,6 +314,7 @@ class SAC(OffPolicyAlgo):
             actor_opt=actor_opt,
             critic_opt=critic_opt,
             alpha_opt=alpha_opt,
+            ou_state=state.ou_state,
             step=state.step + 1,
         )
         metrics = {
@@ -356,6 +396,7 @@ class SAC(OffPolicyAlgo):
             actor_opt=actor_opt,
             critic_opt=critic_opt,
             alpha_opt=alpha_opt,
+            ou_state=state.ou_state,
             step=state.step + 1,
         )
         metrics = {

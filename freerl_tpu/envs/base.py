@@ -14,8 +14,6 @@ truncation are separate signals to preserve the reference's ``done`` vs
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import struct

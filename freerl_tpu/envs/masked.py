@@ -18,7 +18,6 @@ A real SMACv2 adapter would implement the same interface host-side.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from freerl_tpu.core.types import DimInfo

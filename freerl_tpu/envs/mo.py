@@ -10,7 +10,6 @@ truncates at 100 steps. Observation is the (row, col) position as float32.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from flax import struct
 
