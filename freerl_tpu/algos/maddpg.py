@@ -110,6 +110,11 @@ class MADDPGConfig:
     # ATT-MADDPG trick ({'ATT'} in MADDPG_simple_with_tricks.py:95-96)
     att_critic: bool = False
     att_heads: int = 8
+    # MADDPG_reproduction actor modes (:127-131,204-218): '0' = ensemble
+    # (deterministic, known other policies); '1' = approximate — a
+    # DiagGaussian stochastic actor trained by -(logp + lmbda*entropy)
+    actor_learn_way: str = "0"
+    approx_lmbda: float = 1e-3
     axis_name: Optional[str] = None
 
 
@@ -132,10 +137,18 @@ class MADDPG(OffPolicyAlgo):
         self.act_dims = tuple(env.agent_act_dims)
         self.obs_pad = env.dim_info.obs_dim
         hid = tuple(cfg.hidden)
-        self.actors = [
-            TanhActor(self.act_dims[i], hid, 1.0)
-            for i in range(self.n_agents)
-        ]
+        if cfg.actor_learn_way == "1":
+            from freerl_tpu.algos.sac import GaussianActor
+
+            self.actors = [
+                GaussianActor(self.act_dims[i], hid)
+                for i in range(self.n_agents)
+            ]
+        else:
+            self.actors = [
+                TanhActor(self.act_dims[i], hid, 1.0)
+                for i in range(self.n_agents)
+            ]
         if cfg.att_critic:
             assert not cfg.twin, "ATT critic is the single-Q variant"
             self.critics = [
@@ -198,8 +211,15 @@ class MADDPG(OffPolicyAlgo):
         )
 
     # ------------------------------------------------------------------
-    def _actor_apply(self, params, obs_i, i):
-        return self.actors[i].apply({"params": params}, obs_i)
+    def _actor_apply(self, params, obs_i, i, key=None):
+        out = self.actors[i].apply({"params": params}, obs_i)
+        if self.cfg.actor_learn_way == "1":
+            mean, log_std = out
+            if key is None:
+                return jnp.tanh(mean)
+            u = mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)
+            return jnp.tanh(u)
+        return out
 
     def _critic_apply(self, params, obs, actions, i):
         if self.cfg.att_critic:
@@ -217,11 +237,12 @@ class MADDPG(OffPolicyAlgo):
         g_act = actions.reshape(actions.shape[:-2] + (-1,))
         return self.critics[i].apply({"params": params}, g_obs, g_act)
 
-    def select_action(self, state: MADDPGState, obs):
+    def select_action(self, state: MADDPGState, obs, key=None):
         """obs (..., A, O_pad) -> actions (..., A, act) in [-1, 1]."""
         acts = [
             self._actor_apply(
-                state.actor_params[i], self._agent_obs(obs, i), i
+                state.actor_params[i], self._agent_obs(obs, i), i,
+                None if key is None else jax.random.fold_in(key, i),
             )
             for i in range(self.n_agents)
         ]
@@ -244,8 +265,10 @@ class MADDPG(OffPolicyAlgo):
 
     def explore(self, state: MADDPGState, obs, key, ctx: ExploreCtx):
         cfg = self.cfg
-        k_n, k_r = jax.random.split(key)
-        a = self.select_action(state, obs)
+        k_n, k_r, k_s = jax.random.split(key, 3)
+        a = self.select_action(
+            state, obs, k_s if cfg.actor_learn_way == "1" else None
+        )
         noise = cfg.gauss_sigma * self._noise_scale(ctx.episodes) * (
             jax.random.normal(k_n, a.shape)
         )
@@ -286,6 +309,8 @@ class MADDPG(OffPolicyAlgo):
                 na = self._actor_apply(
                     state.actor_targets[j],
                     self._agent_obs(batch.next_obs, j), j,
+                    jax.random.fold_in(k_pn, 100 + j)
+                    if cfg.actor_learn_way == "1" else None,
                 )
                 if cfg.twin and cfg.policy_noise_sigma > 0:
                     pn = jnp.clip(
@@ -333,8 +358,29 @@ class MADDPG(OffPolicyAlgo):
             )
             critic_params[i] = optax.apply_updates(critic_params[i], c_up)
 
-            # actor: own action replaced by actor(obs_i) in the joint critic
+            # actor: mode '0' replaces the own action in the joint critic;
+            # mode '1' uses the reference's -(logp + lmbda*entropy)
             def actor_loss_fn(params):
+                if cfg.actor_learn_way == "1":
+                    mean, log_std = self.actors[i].apply(
+                        {"params": params}, self._agent_obs(batch.obs, i)
+                    )
+                    std = jnp.exp(log_std)
+                    u = mean + std * jax.random.normal(
+                        jax.random.fold_in(k_pn, 200 + i), mean.shape
+                    )
+                    a_i = jnp.tanh(jax.lax.stop_gradient(u))
+                    from freerl_tpu.nets.distributions import (
+                        normal_entropy,
+                        normal_log_prob,
+                    )
+
+                    logp = normal_log_prob(
+                        mean, std, jax.lax.stop_gradient(u)
+                    )
+                    ent = normal_entropy(std)
+                    return -(jnp.mean(logp)
+                             + cfg.approx_lmbda * jnp.mean(ent))
                 a_i = self._actor_apply(
                     params, self._agent_obs(batch.obs, i), i
                 )

@@ -180,6 +180,17 @@ class MAPPOConfig:
     mask_dim: int = 0
     axis_name: Optional[str] = None
 
+    def __post_init__(self):
+        # reference validators (MAPPO.py:612-627 consistency rules)
+        if self.reward_norm and self.reward_scaling:
+            raise ValueError(
+                "reward_norm and reward_scaling cannot both be on"
+            )
+        if self.masked and self.mask_dim <= 0:
+            raise ValueError("masked mode needs mask_dim > 0")
+        if self.attention and self.independent:
+            raise ValueError("attention critic is centralized")
+
 
 @struct.dataclass
 class MAPPOState:

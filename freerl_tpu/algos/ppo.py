@@ -142,6 +142,16 @@ class PPOConfig:
     std_decay_episodes: int = 200
     axis_name: Optional[str] = None
 
+    def __post_init__(self):
+        # reference validator (PPO_with_tricks): the two reward
+        # normalizers are mutually exclusive
+        if self.reward_norm and self.reward_scaling:
+            raise ValueError(
+                "reward_norm and reward_scaling cannot both be on"
+            )
+        if self.beta_dist and self.std_decay:
+            raise ValueError("std_decay applies to the Gaussian actor")
+
 
 @struct.dataclass
 class PPOState:
