@@ -92,12 +92,20 @@ def step_auto_reset(env: Env, state, action, key) -> StepOut:
 
 
 def vec_reset(env: Env, key: jax.Array, num_envs: int):
-    """Reset a batch of `num_envs` independent instances."""
+    """Reset a batch of `num_envs` independent instances.
+
+    Host-bridged envs (envs/host.py) provide their own vectorized protocol
+    (one io_callback for the whole batch) instead of the vmap fast path.
+    """
+    if hasattr(env, "vec_reset"):
+        return env.vec_reset(key, num_envs)
     keys = jax.random.split(key, num_envs)
     return jax.vmap(env.reset)(keys)
 
 
 def vec_step_auto_reset(env: Env, state, action, key, num_envs: int) -> StepOut:
+    if hasattr(env, "vec_step_auto_reset"):
+        return env.vec_step_auto_reset(state, action, key, num_envs)
     keys = jax.random.split(key, num_envs)
     return jax.vmap(lambda s, a, k: step_auto_reset(env, s, a, k))(
         state, action, keys
