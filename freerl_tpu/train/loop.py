@@ -20,6 +20,7 @@ Reference conventions preserved:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 import time
 from typing import Callable, Optional
 
@@ -211,10 +212,16 @@ def train_offpolicy(env: Env, algo, cfg: OffPolicyConfig,
         )
         return new_carry, None
 
-    @jax.jit
+    # donate the carry so HBM buffers update in place across
+    # chunk dispatches (no copy of the replay ring per chunk)
+    @partial(jax.jit, donate_argnums=0)
     def run_chunk(carry):
         carry, _ = jax.lax.scan(step_fn, carry, None, length=cfg.chunk_size)
         return carry
+
+    # donation requires unique buffers: the fresh algo state aliases
+    # params/target_params (same array), so copy the carry once up front
+    carry = jax.tree.map(jnp.copy, carry)
 
     t0 = time.time()
     chunk_i = 0

@@ -9,6 +9,7 @@ action box [0, 1] at the env boundary (MADDPG_simple.py:349-352).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 import time
 from typing import Callable, Optional
 
@@ -170,10 +171,16 @@ def train_marl(env: Env, algo, cfg: MARLConfig,
             update_count=update_count,
         ), None
 
-    @jax.jit
+    # donate the carry so HBM buffers update in place across
+    # chunk dispatches (no copy of the replay ring per chunk)
+    @partial(jax.jit, donate_argnums=0)
     def run_chunk(carry):
         carry, _ = jax.lax.scan(step_fn, carry, None, length=cfg.chunk_size)
         return carry
+
+    # donation requires unique buffers: the fresh algo state aliases
+    # params/target_params (same array), so copy the carry once up front
+    carry = jax.tree.map(jnp.copy, carry)
 
     t0 = time.time()
     chunk_i = 0
