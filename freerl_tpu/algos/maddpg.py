@@ -136,6 +136,7 @@ class MADDPG(OffPolicyAlgo):
         self.obs_dims = tuple(env.agent_obs_dims)
         self.act_dims = tuple(env.agent_act_dims)
         self.obs_pad = env.dim_info.obs_dim
+        self.act_pad = max(self.act_dims)
         hid = tuple(cfg.hidden)
         if cfg.actor_learn_way == "1":
             from freerl_tpu.algos.sac import GaussianActor
@@ -167,12 +168,18 @@ class MADDPG(OffPolicyAlgo):
         """(..., A, O_pad) -> (..., obs_dims[i]) for agent i."""
         return obs[..., i, : self.obs_dims[i]]
 
-    def _joint(self, obs, actions):
-        """Concat all agents' true-width obs and actions -> (..., G)."""
-        parts = [
-            self._agent_obs(obs, i) for i in range(self.n_agents)
-        ] + [actions[..., i, :] for i in range(self.n_agents)]
-        return jnp.concatenate(parts, axis=-1)
+    def _agent_act(self, actions, i):
+        """(..., A, act_pad) -> (..., act_dims[i]) for agent i."""
+        return actions[..., i, : self.act_dims[i]]
+
+    def _pad_act(self, a, i):
+        """Zero-pad agent i's action to the common padded width
+        (heterogeneous act dims, e.g. simple_world_comm's 9-dim leader)."""
+        extra = self.act_pad - self.act_dims[i]
+        if extra == 0:
+            return a
+        pad = [(0, 0)] * (a.ndim - 1) + [(0, extra)]
+        return jnp.pad(a, pad)
 
     def init(self, key: jax.Array) -> MADDPGState:
         keys = jax.random.split(key, 2 * self.n_agents)
@@ -227,22 +234,28 @@ class MADDPG(OffPolicyAlgo):
                 self._agent_obs(obs, j) for j in range(self.n_agents)
             ]
             act_list = [
-                actions[..., j, :] for j in range(self.n_agents)
+                self._agent_act(actions, j) for j in range(self.n_agents)
             ]
             return self.critics[i].apply({"params": params}, obs_list,
                                          act_list)
         g_obs = jnp.concatenate(
             [self._agent_obs(obs, j) for j in range(self.n_agents)], axis=-1
         )
-        g_act = actions.reshape(actions.shape[:-2] + (-1,))
+        g_act = jnp.concatenate(
+            [self._agent_act(actions, j) for j in range(self.n_agents)],
+            axis=-1,
+        )
         return self.critics[i].apply({"params": params}, g_obs, g_act)
 
     def select_action(self, state: MADDPGState, obs, key=None):
         """obs (..., A, O_pad) -> actions (..., A, act) in [-1, 1]."""
         acts = [
-            self._actor_apply(
-                state.actor_params[i], self._agent_obs(obs, i), i,
-                None if key is None else jax.random.fold_in(key, i),
+            self._pad_act(
+                self._actor_apply(
+                    state.actor_params[i], self._agent_obs(obs, i), i,
+                    None if key is None else jax.random.fold_in(key, i),
+                ),
+                i,
             )
             for i in range(self.n_agents)
         ]
@@ -321,7 +334,7 @@ class MADDPG(OffPolicyAlgo):
                         -cfg.noise_clip, cfg.noise_clip,
                     )
                     na = jnp.clip(na + pn, -1.0, 1.0)
-                next_acts.append(na)
+                next_acts.append(self._pad_act(na, j))
             next_actions = jnp.stack(next_acts, axis=-2)
 
             if cfg.twin:
@@ -384,7 +397,7 @@ class MADDPG(OffPolicyAlgo):
                 a_i = self._actor_apply(
                     params, self._agent_obs(batch.obs, i), i
                 )
-                acts = batch.action.at[..., i, :].set(a_i)
+                acts = batch.action.at[..., i, : self.act_dims[i]].set(a_i)
                 if cfg.twin:
                     q = self._critic_apply(
                         critic_params[i], batch.obs, acts, i,

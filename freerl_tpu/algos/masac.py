@@ -61,6 +61,7 @@ class MASAC(OffPolicyAlgo):
         self.n_agents = env.n_agents
         self.obs_dims = tuple(env.agent_obs_dims)
         self.act_dims = tuple(env.agent_act_dims)
+        self.act_pad = max(self.act_dims)
         hid = tuple(cfg.hidden)
         self.actors = [
             GaussianActor(self.act_dims[i], hid)
@@ -76,6 +77,13 @@ class MASAC(OffPolicyAlgo):
 
     def _agent_obs(self, obs, i):
         return obs[..., i, : self.obs_dims[i]]
+
+    def _pad_act(self, a, i):
+        """Zero-pad to the common act width (heterogeneous act dims)."""
+        extra = self.act_pad - self.act_dims[i]
+        if extra == 0:
+            return a
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, extra)])
 
     def init(self, key: jax.Array) -> MASACState:
         keys = jax.random.split(key, 2 * self.n_agents)
@@ -118,7 +126,13 @@ class MASAC(OffPolicyAlgo):
         g_obs = jnp.concatenate(
             [self._agent_obs(obs, j) for j in range(self.n_agents)], axis=-1
         )
-        g_act = actions.reshape(actions.shape[:-2] + (-1,))
+        g_act = jnp.concatenate(
+            [
+                actions[..., j, : self.act_dims[j]]
+                for j in range(self.n_agents)
+            ],
+            axis=-1,
+        )
         return self.critics[i].apply({"params": params}, g_obs, g_act)
 
     def select_action(self, state: MASACState, obs, key):
@@ -128,7 +142,7 @@ class MASAC(OffPolicyAlgo):
                 state.actor_params[i], self._agent_obs(obs, i), i,
                 jax.random.fold_in(key, i),
             )
-            acts.append(a)
+            acts.append(self._pad_act(a, i))
         return jnp.stack(acts, axis=-2)
 
     def evaluate_action(self, state: MASACState, obs):
@@ -137,7 +151,7 @@ class MASAC(OffPolicyAlgo):
             mean, _ = self.actors[i].apply(
                 {"params": state.actor_params[i]}, self._agent_obs(obs, i)
             )
-            acts.append(jnp.tanh(mean))
+            acts.append(self._pad_act(jnp.tanh(mean), i))
         return jnp.stack(acts, axis=-2)
 
     def explore(self, state: MASACState, obs, key, ctx: ExploreCtx):
@@ -177,7 +191,7 @@ class MASAC(OffPolicyAlgo):
                     actor_params[j], self._agent_obs(batch.next_obs, j), j,
                     jax.random.fold_in(k_next, j),
                 )
-                next_acts.append(a_j)
+                next_acts.append(self._pad_act(a_j, j))
                 if j == i:
                     next_logp_i = logp_j
             next_actions = jnp.stack(next_acts, axis=-2)
@@ -212,7 +226,7 @@ class MASAC(OffPolicyAlgo):
                 a_i, logp = self._sample_agent(
                     params, self._agent_obs(batch.obs, i), i, k_new
                 )
-                acts = batch.action.at[..., i, :].set(a_i)
+                acts = batch.action.at[..., i, : self.act_dims[i]].set(a_i)
                 q1, q2 = self._critic_apply(
                     critic_params[i], batch.obs, acts, i
                 )

@@ -65,11 +65,17 @@ def _register_extras():
     except ImportError:
         pass
     try:
-        from freerl_tpu.envs.mpe import SimpleSpread, SimpleAdversary, SimpleTag  # noqa
+        from freerl_tpu.envs.mpe import (  # noqa
+            SimpleAdversary,
+            SimpleSpread,
+            SimpleTag,
+            SimpleWorldComm,
+        )
 
         _REGISTRY.setdefault("simple_spread_v3", SimpleSpread)
         _REGISTRY.setdefault("simple_adversary_v3", SimpleAdversary)
         _REGISTRY.setdefault("simple_tag_v3", SimpleTag)
+        _REGISTRY.setdefault("simple_world_comm_v3", SimpleWorldComm)
     except ImportError:
         pass
     try:

@@ -136,11 +136,19 @@ class MPEBase(Env):
         vel = vel * scale[:, None] * jnp.asarray(self.movable)[:, None]
         pos = pos + vel * DT
 
-        new = MPEState(pos=pos, vel=vel, goal=state.goal, t=state.t + 1)
+        # replace() keeps scenario-specific state fields (e.g. the comm
+        # channel in simple_world_comm) intact across the base integrator
+        new = state.replace(pos=pos, vel=vel, t=state.t + 1)
+        new = self._update_comm(new, a)
         rewards = self._rewards(new)
         terminated = jnp.asarray(False)
         truncated = new.t >= self.max_steps
         return new, self._observations(new), rewards, terminated, truncated
+
+    def _update_comm(self, state, actions):
+        """Hook for scenarios with a communication channel (world.dim_c>0);
+        the base world is silent."""
+        return state
 
     # helpers -----------------------------------------------------------
     def _is_collision(self, state, i, j):
@@ -409,4 +417,190 @@ class SimpleTag(MPEBase):
             obs.append(jnp.concatenate(
                 [avel[i], apos[i], lm_rel, other_rel, other_vel]
             ))
+        return self._pad_obs(obs)
+
+
+# ---------------------------------------------------------------------------
+@struct.dataclass
+class WorldCommState:
+    pos: jnp.ndarray     # (E, 2)
+    vel: jnp.ndarray     # (E, 2)
+    goal: jnp.ndarray    # unused; kept for base-class compatibility
+    t: jnp.ndarray
+    comm: jnp.ndarray    # (dim_c,) leader's broadcast channel
+
+
+class SimpleWorldComm(MPEBase):
+    """simple_world_comm_v3: 1 leader adversary (speaks, dim_c=4) + 3
+    adversaries chase `num_good` food-seeking good agents among 1 collidable
+    landmark, 2 food sources, and 2 concealing forests.
+
+    Re-derived from the published multiagent-particle-envs scenario that
+    PettingZoo ships; the reference constructs it at
+    MADDPG_file/MADDPG_simple.py:224-225 with
+    ``num_good=env_agent_n, num_adversaries=4, continuous_actions=True``.
+
+    Entity order: [leader, adv x3, good x num_good] then
+    [landmark, food x2, forest x2]. Leader action is 9-dim (5 movement +
+    4 comm); others 5-dim — exposed via heterogeneous ``agent_act_dims``.
+    Forest concealment: another agent's relative position/velocity reads
+    as zeros unless observer and observed share a forest, both are outside
+    all forests, or the observer is the leader (who sees everything).
+    """
+
+    name = "simple_world_comm_v3"
+    dim_c = 4
+
+    def __init__(self, num_good: int = 2, num_adversaries: int = 4,
+                 continuous_actions: bool = True):
+        assert continuous_actions, (
+            "simple_world_comm is built continuous (the reference always "
+            "passes continuous_actions=True for MPE)"
+        )
+        self.continuous_actions = True
+        self.n_adv = num_adversaries          # leader is adversary 0
+        self.n_good = num_good
+        self.n_agents = num_adversaries + num_good
+        n_lm = 5                              # 1 landmark + 2 food + 2 forest
+        n = self.n_agents + n_lm
+        self.sizes = np.concatenate([
+            np.full(self.n_adv, 0.075), np.full(self.n_good, 0.045),
+            np.array([0.2, 0.03, 0.03, 0.3, 0.3]),
+        ])
+        self.movable = np.concatenate([
+            np.ones(self.n_agents, bool), np.zeros(n_lm, bool)
+        ])
+        # landmark is an obstacle; food and forests are intangible
+        self.collide = np.concatenate([
+            np.ones(self.n_agents, bool),
+            np.array([True, False, False, False, False]),
+        ])
+        self.accel = np.concatenate([
+            np.full(self.n_adv, 3.0), np.full(self.n_good, 4.0)
+        ])
+        self.max_speed = np.concatenate([
+            np.full(self.n_adv, 1.0), np.full(self.n_good, 1.3),
+            np.full(n_lm, -1.0),
+        ])
+        A = self.n_agents
+        # adv/leader: vel2 pos2 entity10 other2(A-1) goodvel2*n_good
+        #             forest2 comm4
+        adv_dim = 4 + 2 * n_lm + 2 * (A - 1) + 2 * self.n_good + 2 + self.dim_c
+        # good i: vel2 pos2 entity10 other2(A-1) forest2 othergoodvel
+        good_dim = 4 + 2 * n_lm + 2 * (A - 1) + 2 + 2 * (self.n_good - 1)
+        self.agent_obs_dims = (adv_dim,) * self.n_adv + (good_dim,) * self.n_good
+        self.agent_act_dims = (5 + self.dim_c,) + (5,) * (A - 1)
+        self.dim_info = DimInfo(
+            obs_dim=max(adv_dim, good_dim),
+            action_dim=max(self.agent_act_dims),
+            is_continue=True, max_action=1.0,
+        )
+
+    # entity index helpers
+    @property
+    def _i_lm(self):
+        return self.n_agents
+
+    @property
+    def _i_food(self):
+        return self.n_agents + 1
+
+    @property
+    def _i_forest(self):
+        return self.n_agents + 3
+
+    def _reset_world(self, key):
+        k1, k2 = jax.random.split(key)
+        apos = jax.random.uniform(k1, (self.n_agents, 2), jnp.float32, -1, 1)
+        lpos = jax.random.uniform(k2, (5, 2), jnp.float32, -0.9, 0.9)
+        return WorldCommState(
+            pos=jnp.concatenate([apos, lpos]),
+            vel=jnp.zeros((self.n_entities, 2)),
+            goal=jnp.int32(0),
+            t=jnp.int32(0),
+            comm=jnp.zeros((self.dim_c,)),
+        )
+
+    def _update_comm(self, state, actions):
+        # only the leader speaks (others are silent): c <- action[5:9]
+        return state.replace(comm=actions[0, 5:5 + self.dim_c])
+
+    def _in_forest(self, state):
+        """(A, 2) bool: agent a overlaps forest f."""
+        apos = state.pos[: self.n_agents]
+        fpos = state.pos[self._i_forest: self._i_forest + 2]
+        d = jnp.sqrt(jnp.sum(
+            (apos[:, None, :] - fpos[None, :, :]) ** 2, axis=-1
+        ) + 1e-8)
+        thresh = jnp.asarray(self.sizes[: self.n_agents])[:, None] + 0.3
+        return d < thresh
+
+    def _rewards(self, state):
+        na = self.n_agents
+        adv_pos = state.pos[: self.n_adv]
+        good_pos = state.pos[self.n_adv: na]
+        good_size = jnp.asarray(self.sizes[self.n_adv: na])
+
+        d_ag = jnp.sqrt(jnp.sum(
+            (adv_pos[:, None, :] - good_pos[None, :, :]) ** 2, axis=-1
+        ) + 1e-8)                                           # (n_adv, n_good)
+        catch = d_ag < (0.075 + good_size[None, :])
+        n_catch = jnp.sum(catch).astype(jnp.float32)
+
+        # adversaries (incl. leader): shaped -0.1*min dist to prey,
+        # +5 per (adversary, good) contact anywhere in the pack
+        adv_rew = -0.1 * jnp.min(d_ag, axis=1) + 5.0 * n_catch
+
+        # good agents: -5 per adversary touching them, x2 boundary
+        # penalty per coordinate, +2 per food eaten, +0.05*min food dist
+        food_pos = state.pos[self._i_food: self._i_food + 2]
+        d_food = jnp.sqrt(jnp.sum(
+            (good_pos[:, None, :] - food_pos[None, :, :]) ** 2, axis=-1
+        ) + 1e-8)                                           # (n_good, 2)
+        eat = d_food < (good_size[:, None] + 0.03)
+        good_rew = (
+            -5.0 * jnp.sum(catch, axis=0).astype(jnp.float32)
+            - 2.0 * jnp.sum(SimpleTag._bound(good_pos), axis=-1)
+            + 2.0 * jnp.sum(eat, axis=-1).astype(jnp.float32)
+            + 0.05 * jnp.min(d_food, axis=-1)
+        )
+        return jnp.concatenate([adv_rew, good_rew])
+
+    def _observations(self, state):
+        na = self.n_agents
+        apos, avel = state.pos[:na], state.vel[:na]
+        ent_pos = state.pos[na:]                     # landmark+food+forest
+        inf = self._in_forest(state)                 # (A, 2)
+        outside = ~jnp.any(inf, axis=-1)             # (A,)
+        forest_flag = jnp.where(inf, 1.0, -1.0)
+
+        # visibility of agent j to observer i (leader sees all)
+        vis = (
+            (inf[:, None, 0] & inf[None, :, 0])
+            | (inf[:, None, 1] & inf[None, :, 1])
+            | (outside[:, None] & outside[None, :])
+        )
+        vis = vis.at[0, :].set(True)
+
+        obs = []
+        for i in range(na):
+            entity_rel = (ent_pos - apos[i]).reshape(-1)
+            other_rel = jnp.concatenate([
+                jnp.where(vis[i, j], apos[j] - apos[i], 0.0)
+                for j in range(na) if j != i
+            ])
+            good_vel = jnp.concatenate([
+                jnp.where(vis[i, j], avel[j], 0.0)
+                for j in range(self.n_adv, na) if j != i
+            ]) if (self.n_good - (1 if i >= self.n_adv else 0)) else jnp.zeros((0,))
+            if i < self.n_adv:    # leader + adversaries (comm appended)
+                obs.append(jnp.concatenate([
+                    avel[i], apos[i], entity_rel, other_rel, good_vel,
+                    forest_flag[i], state.comm,
+                ]))
+            else:                 # good agents: no comm channel
+                obs.append(jnp.concatenate([
+                    avel[i], apos[i], entity_rel, other_rel,
+                    forest_flag[i], good_vel,
+                ]))
         return self._pad_obs(obs)

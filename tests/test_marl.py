@@ -124,6 +124,105 @@ def test_marl_learn_step_runs(algo_fn, env_name):
     assert float(jnp.abs(a).max()) <= 1.0 + 1e-6
 
 
+def test_world_comm_shapes_and_rollout():
+    env = make("simple_world_comm_v3")
+    assert env.n_agents == 6
+    assert env.agent_obs_dims == (34, 34, 34, 34, 28, 28)
+    assert env.agent_act_dims == (9, 5, 5, 5, 5, 5)
+    key = jax.random.PRNGKey(0)
+    s, o = env.reset(key)
+    assert o.shape == (6, 34)
+    # good agents' obs padded beyond their true 28 dims
+    np.testing.assert_array_equal(np.asarray(o[4:, 28:]), 0.0)
+    step = jax.jit(env.step)
+    for t in range(25):
+        a = jax.random.uniform(jax.random.fold_in(key, t), (6, 9))
+        s, o, r, term, trunc = step(s, a, jax.random.fold_in(key, t))
+        assert not bool(jnp.isnan(r).any())
+    assert bool(trunc) and not bool(term)
+
+
+def test_world_comm_channel_and_forest_concealment():
+    from freerl_tpu.envs.mpe import SimpleWorldComm, WorldCommState
+
+    env = SimpleWorldComm()
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    # leader broadcasts; all adversaries (incl. leader) hear it, good don't
+    a = jnp.zeros((6, 9)).at[0, 5:].set(jnp.array([0.1, 0.2, 0.3, 0.4]))
+    s2, o, *_ = env.step(s, a, jax.random.PRNGKey(1))
+    for i in range(4):
+        np.testing.assert_allclose(
+            np.asarray(o[i, 30:34]), [0.1, 0.2, 0.3, 0.4], atol=1e-6
+        )
+
+    # good agent 4 hides in forest 0; adversary 1 outside can't see it,
+    # the leader always can
+    pos = jnp.array([
+        [0.9, 0.9], [-0.9, -0.9], [0.8, -0.8], [-0.8, 0.8],  # adversaries
+        [0.0, 0.0], [0.5, 0.5],                              # good
+        [0.7, 0.7],                  # landmark
+        [0.6, -0.6], [-0.6, 0.6],    # food
+        [0.0, 0.0], [-0.4, -0.4],    # forests (good 4 inside forest 0)
+    ])
+    hidden = WorldCommState(
+        pos=pos, vel=jnp.ones((11, 2)), goal=jnp.int32(0),
+        t=jnp.int32(0), comm=jnp.zeros(4),
+    )
+    obs = env._observations(hidden)
+    # adversary 1's obs: others are [leader, adv2, adv3, good4, good5];
+    # good4's relative pos (slot 3 of other block at offset 14) reads 0
+    adv1_good4 = np.asarray(obs[1, 14 + 6: 14 + 8])
+    np.testing.assert_array_equal(adv1_good4, 0.0)
+    # leader sees good4's true relative position
+    lead_good4 = np.asarray(obs[0, 14 + 6: 14 + 8])
+    np.testing.assert_allclose(lead_good4, [0.0 - 0.9, 0.0 - 0.9],
+                               atol=1e-6)
+    # forest flags: good4 in forest0 -> [1, -1]
+    np.testing.assert_array_equal(np.asarray(obs[4, 24:26]), [1.0, -1.0])
+
+
+def test_world_comm_heterogeneous_maddpg_learn():
+    """MADDPG/MASAC handle the 9-dim leader action via padding."""
+    from freerl_tpu.core.types import Transition
+    from freerl_tpu.train.marl import _example_transition
+
+    env = make("simple_world_comm_v3")
+    for algo in (
+        MADDPG(env, MADDPGConfig(batch_size=16, buffer_size=1024)),
+        MASAC(env, MASACConfig(batch_size=16, buffer_size=1024)),
+    ):
+        state = algo.init(jax.random.PRNGKey(0))
+        buf = algo.make_buffer(_example_transition(env))
+        key = jax.random.PRNGKey(1)
+        b, A = 32, env.n_agents
+        buf = buf.add(Transition(
+            obs=jax.random.normal(key, (b, A, env.dim_info.obs_dim)),
+            action=jax.random.uniform(key, (b, A, 9), jnp.float32, -1, 1),
+            reward=jax.random.normal(key, (b, A)),
+            next_obs=jax.random.normal(key, (b, A, env.dim_info.obs_dim)),
+            done=jnp.zeros((b,), jnp.bool_),
+            episode_done=jnp.zeros((b,), jnp.bool_),
+        ))
+        state2, _, metrics = jax.jit(
+            lambda s, b_, k: algo.learn_step(s, b_, k, 8)
+        )(state, buf, key)
+        for v in metrics.values():
+            assert np.isfinite(float(v))
+        from tests.test_continuous import _ctx
+
+        _, a = algo.explore(
+            state2, jnp.zeros((4, A, env.dim_info.obs_dim)),
+            jax.random.PRNGKey(3), _ctx(4),
+        )
+        assert a.shape == (4, A, 9)
+        # non-leader agents' padded action tail stays inert through
+        # select_action (noise may touch it; env ignores it anyway)
+        det = algo.evaluate_action(state2, jnp.zeros((4, A, 34))) \
+            if hasattr(algo, "evaluate_action") else None
+        if det is not None:
+            np.testing.assert_array_equal(np.asarray(det[:, 1:, 5:]), 0.0)
+
+
 def test_maddpg_learns_simple_spread():
     """600-episode reference protocol, compressed: returns improve
     clearly over the random-policy baseline."""
