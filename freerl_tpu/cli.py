@@ -164,6 +164,10 @@ def main(argv=None):
     p.add_argument("--discrete_actions", action="store_true")
     p.add_argument("--results_root", default="results")
     p.add_argument("--no_tensorboard", action="store_true")
+    p.add_argument("--save_freq", type=int, default=0,
+                   help="checkpoint every N episodes mid-run (reference "
+                        "save_freq, DQN_file/DQN.py:328-329); 0 = only at "
+                        "the end")
     args = p.parse_args(argv)
 
     from freerl_tpu.train import (
@@ -186,27 +190,52 @@ def main(argv=None):
     writer = MetricsWriter(model_dir, args.algo, args.seed,
                            use_tensorboard=not args.no_tensorboard)
 
+    # mid-run checkpoint cadence: the drivers call back per logged chunk
+    # with the live carry; save when an episode multiple is crossed
+    last_saved = [0]
+
+    def _maybe_save(n_eps, carry):
+        if args.save_freq and n_eps // args.save_freq > last_saved[0]:
+            last_saved[0] = n_eps // args.save_freq
+            save_checkpoint(f"{model_dir}/checkpoint", carry.algo_state)
+            print(f"checkpoint @ episode {n_eps}")
+
+    def on_chunk(chunk_i, n_eps, n_steps, carry):
+        _maybe_save(n_eps, carry)
+
+    def on_iter(it, n_eps, n_steps, carry, metrics):
+        _maybe_save(n_eps, carry)
+
+    # check the save cadence on every chunk, not every logged one
+    cadence = {"log_every_chunks": 1} if args.save_freq else {}
+
     if args.algo in OFFPOLICY:
         cfg = OffPolicyConfig(
             seed=args.seed, num_envs=args.num_envs,
             max_episodes=args.max_episodes, start_steps=args.start_steps,
             random_steps=args.random_steps,
             updates_per_burst=args.updates_per_burst,
+            **cadence,
         )
-        state, returns, info = train_offpolicy(env, algo, cfg)
+        state, returns, info = train_offpolicy(env, algo, cfg,
+                                               on_chunk=on_chunk)
     elif args.algo in MARL_OFF:
         cfg = MARLConfig(
             seed=args.seed, num_envs=args.num_envs,
             max_episodes=args.max_episodes, start_steps=args.start_steps,
             updates_per_burst=args.updates_per_burst,
+            **cadence,
         )
-        state, returns, info = train_marl(env, algo, cfg)
+        state, returns, info = train_marl(env, algo, cfg,
+                                          on_chunk=on_chunk)
     else:
         cfg = OnPolicyConfig(
             seed=args.seed, num_envs=args.num_envs,
             max_episodes=args.max_episodes, horizon=args.horizon,
+            **({"log_every_iters": 1} if args.save_freq else {}),
         )
-        state, returns, info = train_onpolicy(env, algo, cfg)
+        state, returns, info = train_onpolicy(env, algo, cfg,
+                                              on_iter=on_iter)
 
     writer.log_episodes(np.asarray(returns))
     curve_path = writer.save_curve(np.asarray(returns))

@@ -1,0 +1,100 @@
+"""Offline evaluation CLI — the reference's evaluate.py / MA_evaluate.py.
+
+Loads a run directory produced by ``python -m freerl_tpu.cli`` (full-state
+checkpoint), replays ``--n_episodes`` held-out seeds through the
+deterministic policy, and writes the reference's artifact set
+(DQN_file/evaluate.py:66-133, MADDPG_file/MA_evaluate.py):
+
+  - ``evaluate.png``  — exp-smoothed returns vs the env reward_threshold
+  - ``evaluate.gif``  — one replayed episode, drawn from the state trace
+  - console mean/std over the held-out seeds (per-agent for MARL)
+
+Example:
+  python -m freerl_tpu.cli  --algo DQN --env_name CartPole-v1 --seed 0
+  python -m freerl_tpu.eval --algo DQN --env_name CartPole-v1 \
+      --model_dir results/CartPole-v1/DQN_1
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--algo", default="DQN")
+    p.add_argument("--env_name", default="CartPole-v1")
+    p.add_argument("--model_dir", required=True,
+                   help="run dir containing 'checkpoint'")
+    p.add_argument("--n_episodes", type=int, default=100)
+    p.add_argument("--seed0", type=int, default=0,
+                   help="first held-out seed (training used --seed)")
+    p.add_argument("--gif", action="store_true", default=True)
+    p.add_argument("--no_gif", dest="gif", action="store_false")
+    p.add_argument("--gif_seed", type=int, default=None,
+                   help="episode seed for the gif (default: random)")
+    # flags that change network/env construction must match training
+    p.add_argument("--trick", nargs="*", default=[])
+    p.add_argument("--dis_to_con", action="store_true")
+    p.add_argument("--discrete_actions", action="store_true")
+    p.add_argument("--num_envs", type=int, default=8)
+    p.add_argument("--horizon", type=int, default=2048)
+    p.add_argument("--buffer_size", type=int, default=200_000)
+    p.add_argument("--batch_size", type=int, default=64)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from freerl_tpu.cli import MARL_OFF, MARL_ON, build
+    from freerl_tpu.train.evaluate import evaluate, plot_evaluate
+    from freerl_tpu.train.runio import load_checkpoint
+
+    env, algo = build(args)
+    example = algo.init(jax.random.PRNGKey(0))
+    state = load_checkpoint(os.path.join(args.model_dir, "checkpoint"),
+                            example)
+
+    multi_agent = args.algo in MARL_OFF | MARL_ON or args.algo == "MAT"
+    returns = evaluate(
+        env, lambda obs: algo.evaluate_action(state, obs),
+        n_episodes=args.n_episodes, seed0=args.seed0,
+        multi_agent=multi_agent,
+    )
+    if multi_agent:
+        mean, std = returns.mean(axis=0), returns.std(axis=0)
+        print(f"eval over {args.n_episodes} held-out seeds, per-agent:")
+        for i, (m, s) in enumerate(zip(mean, std)):
+            print(f"  agent_{i}: {m:.2f} +- {s:.2f}")
+        curve = returns.mean(axis=-1)
+    else:
+        print(f"eval over {args.n_episodes} held-out seeds: "
+              f"{returns.mean():.2f} +- {returns.std():.2f} "
+              f"(threshold: {env.reward_threshold})")
+        curve = returns
+
+    png = plot_evaluate(
+        curve, goal=env.reward_threshold,
+        out_path=os.path.join(args.model_dir, "evaluate.png"),
+    )
+    print(f"plot: {png}")
+
+    if args.gif:
+        from freerl_tpu.train.render import render_episode_gif
+
+        gif_seed = (
+            args.gif_seed if args.gif_seed is not None
+            else int(np.random.default_rng().integers(0, 10_000))
+        )
+        gif = render_episode_gif(
+            env, lambda obs: algo.evaluate_action(state, obs),
+            out_path=os.path.join(args.model_dir, "evaluate.gif"),
+            seed=gif_seed,
+        )
+        print(f"gif: {gif} (episode seed {gif_seed})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
