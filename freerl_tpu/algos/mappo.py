@@ -220,6 +220,7 @@ class MAPPO:
         self.n_agents = env.n_agents
         self.obs_dims = tuple(env.agent_obs_dims)
         self.act_dims = tuple(env.agent_act_dims)
+        self.act_pad = max(self.act_dims)
         self.is_continue = env.dim_info.is_continue
         self.obs_pad = env.dim_info.obs_dim
         hid = tuple(cfg.hidden)
@@ -247,6 +248,16 @@ class MAPPO:
     # ------------------------------------------------------------------
     def _agent_obs(self, obs, i):
         return obs[..., i, : self.obs_dims[i]]
+
+    def _pad_act(self, a, i):
+        """Zero-pad agent i's continuous action to the common padded
+        width (heterogeneous act dims, e.g. simple_world_comm's 9-dim
+        leader vs 5-dim others); learn() slices back per agent."""
+        extra = self.act_pad - self.act_dims[i]
+        if extra == 0:
+            return a
+        pad = [(0, 0)] * (a.ndim - 1) + [(0, extra)]
+        return jnp.pad(a, pad)
 
     def _critic_input(self, obs, i):
         if self.cfg.independent:
@@ -339,8 +350,8 @@ class MAPPO:
                 std = jnp.exp(log_std)
                 a = D.normal_sample(k, mean, std)
                 logp = D.normal_log_prob(mean, std, a)
-                env_as.append(jnp.clip(a, -1.0, 1.0))
-                stored.append(a)
+                env_as.append(self._pad_act(jnp.clip(a, -1.0, 1.0), i))
+                stored.append(self._pad_act(a, i))
             logps.append(logp)
         stack = lambda xs: jnp.stack(xs, axis=-2 if self.is_continue else -1)
         return stack(env_as), stack(stored), jnp.stack(logps, axis=-1)
@@ -354,7 +365,7 @@ class MAPPO:
             if not self.is_continue:
                 outs.append(jnp.argmax(out, axis=-1))
             else:
-                outs.append(out[0])
+                outs.append(self._pad_act(out[0], i))
         return jnp.stack(outs, axis=-2 if self.is_continue else -1)
 
     # trick hooks -------------------------------------------------------

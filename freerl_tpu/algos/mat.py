@@ -185,6 +185,14 @@ class MAT:
     """Runs on the on-policy driver (freerl_tpu/train/onpolicy.py)."""
 
     def __init__(self, env: Env, cfg: MATConfig = MATConfig()):
+        if len(set(env.agent_act_dims)) > 1:
+            raise ValueError(
+                "MAT requires equal per-agent action dims (the reference "
+                "makes the same assumption, MAPPO_file/MAT.py:316); got "
+                f"{tuple(env.agent_act_dims)} — use MAPPO/HAPPO/MADDPG/"
+                "MASAC for heterogeneous-action scenarios like "
+                "simple_world_comm_v3"
+            )
         self.cfg = cfg
         self.n_agents = env.n_agents
         self.obs_dim = env.dim_info.obs_dim  # MAT assumes equal dims

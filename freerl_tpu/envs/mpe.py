@@ -599,8 +599,11 @@ class SimpleWorldComm(MPEBase):
                     forest_flag[i], state.comm,
                 ]))
             else:                 # good agents: no comm channel
+                # layout parity with the published scenario's non-adversary
+                # branch: [vel, pos, entity_pos, in_forest, other_pos,
+                # other_vel] — in_forest comes BEFORE other_pos.
                 obs.append(jnp.concatenate([
-                    avel[i], apos[i], entity_rel, other_rel,
-                    forest_flag[i], good_vel,
+                    avel[i], apos[i], entity_rel, forest_flag[i],
+                    other_rel, good_vel,
                 ]))
         return self._pad_obs(obs)

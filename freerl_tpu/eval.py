@@ -43,6 +43,11 @@ def main(argv=None):
     p.add_argument("--horizon", type=int, default=2048)
     p.add_argument("--buffer_size", type=int, default=200_000)
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--max_episodes", type=int, default=500,
+                   help="must match training (ENVELOPE schedules on it)")
+    p.add_argument("--preference", type=float, nargs="*", default=None,
+                   help="ENVELOPE only: evaluation preference weights "
+                        "(default: uniform over reward_dim)")
     args = p.parse_args(argv)
 
     import jax
@@ -56,9 +61,23 @@ def main(argv=None):
     state = load_checkpoint(os.path.join(args.model_dir, "checkpoint"),
                             example)
 
+    if args.algo == "ENVELOPE":
+        # ENVELOPE policies are preference-conditioned
+        # (ENVELOPE_MORL_file/ENVELOPE_DQN.py eval_model:367): score at a
+        # fixed preference, scalarizing vector rewards by w·r.
+        import jax.numpy as jnp
+
+        rdim = getattr(env, "reward_dim", 2)
+        w = (np.asarray(args.preference, dtype=np.float32)
+             if args.preference else np.full((rdim,), 1.0 / rdim, np.float32))
+        w = w / w.sum()
+        act_fn = lambda obs: algo.evaluate_action(state, obs, jnp.asarray(w))
+    else:
+        act_fn = lambda obs: algo.evaluate_action(state, obs)
+
     multi_agent = args.algo in MARL_OFF | MARL_ON or args.algo == "MAT"
     returns = evaluate(
-        env, lambda obs: algo.evaluate_action(state, obs),
+        env, act_fn,
         n_episodes=args.n_episodes, seed0=args.seed0,
         multi_agent=multi_agent,
     )
@@ -88,7 +107,7 @@ def main(argv=None):
             else int(np.random.default_rng().integers(0, 10_000))
         )
         gif = render_episode_gif(
-            env, lambda obs: algo.evaluate_action(state, obs),
+            env, act_fn,
             out_path=os.path.join(args.model_dir, "evaluate.gif"),
             seed=gif_seed,
         )

@@ -48,10 +48,11 @@ def rollout_trace(env: Env, act_fn: Callable, seed: int = 0,
             k = jax.random.fold_in(jax.random.PRNGKey(seed + 13), t)
             state2, obs2, r, term, trunc = env.step(state, action, k)
             alive = ~done
-            r_live = r * (
-                alive if jnp.ndim(r) == 0 else alive
-            )
-            ret = ret + r_live
+            # scalarize vector (multi-objective) rewards by sum so the
+            # scan carry keeps a fixed shape (matches train/evaluate.py)
+            if jnp.ndim(r) > ret.ndim:
+                r = r.sum(axis=-1)
+            ret = ret + r * alive
             done = done | term | trunc
             state = jax.tree.map(
                 lambda new, old: jnp.where(done, old, new), state2, state
@@ -64,7 +65,9 @@ def rollout_trace(env: Env, act_fn: Callable, seed: int = 0,
         (_, _, ret, _), (states, dones) = jax.lax.scan(
             step, (state0, obs0, ret0, jnp.bool_(False)), jnp.arange(T)
         )
-        length = jnp.sum(~dones) + 1
+        # if the episode never finished within T the +1 would index past
+        # the trace — clamp to the trace length
+        length = jnp.minimum(jnp.sum(~dones) + 1, T)
         return states, ret, length
 
     states, ret, length = run()

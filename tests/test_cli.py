@@ -49,3 +49,26 @@ def test_cli_end_to_end(tmp_path):
     assert (run_dir / "checkpoint").exists()
     curve = np.load(run_dir / "DQN_seed_0.npy")
     assert len(curve) >= 30
+
+
+def test_eval_cli_envelope(tmp_path):
+    """eval.py handles the preference-conditioned ENVELOPE policy
+    (ADVICE round 1: --max_episodes/--preference were missing)."""
+    rc = main([
+        "--algo", "ENVELOPE", "--env_name", "deep-sea-treasure-v0",
+        "--max_episodes", "12", "--num_envs", "4",
+        "--buffer_size", "2048", "--results_root", str(tmp_path),
+        "--no_tensorboard",
+    ])
+    assert rc == 0
+    run_dir = tmp_path / "deep-sea-treasure-v0" / "ENVELOPE_1"
+
+    from freerl_tpu.eval import main as eval_main
+
+    rc = eval_main([
+        "--algo", "ENVELOPE", "--env_name", "deep-sea-treasure-v0",
+        "--model_dir", str(run_dir), "--n_episodes", "4",
+        "--max_episodes", "12", "--preference", "0.7", "0.3", "--no_gif",
+    ])
+    assert rc == 0
+    assert (run_dir / "evaluate.png").exists()

@@ -177,8 +177,10 @@ def test_world_comm_channel_and_forest_concealment():
     lead_good4 = np.asarray(obs[0, 14 + 6: 14 + 8])
     np.testing.assert_allclose(lead_good4, [0.0 - 0.9, 0.0 - 0.9],
                                atol=1e-6)
-    # forest flags: good4 in forest0 -> [1, -1]
-    np.testing.assert_array_equal(np.asarray(obs[4, 24:26]), [1.0, -1.0])
+    # forest flags: good4 in forest0 -> [1, -1]; good-agent layout is
+    # [vel 0:2, pos 2:4, entity 4:14, in_forest 14:16, other 16:26,
+    # good_vel 26:28] (in_forest BEFORE other, per the published scenario)
+    np.testing.assert_array_equal(np.asarray(obs[4, 14:16]), [1.0, -1.0])
 
 
 def test_world_comm_heterogeneous_maddpg_learn():

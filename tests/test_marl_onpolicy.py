@@ -127,3 +127,46 @@ def test_mappo_learns_simple_spread():
     first = returns[:40].mean()
     last = returns[-40:].mean()
     assert last > first + 0.5, (first, last)
+
+
+def test_world_comm_heterogeneous_onpolicy():
+    """MAPPO/HAPPO/IPPO pad the 9-dim leader action; MAT rejects it."""
+    env = make("simple_world_comm_v3")
+    A, O, P = env.n_agents, env.dim_info.obs_dim, max(env.agent_act_dims)
+    for make_algo in (
+        lambda e: MAPPO(e, MAPPOConfig(K_epochs=2)),
+        lambda e: HAPPO(e, HAPPOConfig(K_epochs=2)),
+        lambda e: IPPO(e, MAPPOConfig(K_epochs=2, independent=True)),
+    ):
+        algo = make_algo(env)
+        state = algo.init(jax.random.PRNGKey(0))
+        obs = jax.random.normal(jax.random.PRNGKey(1), (4, A, O))
+        env_a, stored, logp = algo.sample_action(
+            state, obs, jax.random.PRNGKey(2)
+        )
+        assert env_a.shape == (4, A, P) and stored.shape == (4, A, P)
+        assert logp.shape == (4, A)
+        # non-leader action tails are zero padding
+        np.testing.assert_array_equal(np.asarray(env_a[:, 1:, 5:]), 0.0)
+        det = algo.evaluate_action(state, obs)
+        assert det.shape == (4, A, P)
+        # one update over a padded rollout
+        T, N = 8, 4
+        ks = jax.random.split(jax.random.PRNGKey(3), 4)
+        roll = Rollout(
+            obs=jax.random.normal(ks[0], (T, N, A, O)),
+            action=jax.random.uniform(
+                ks[1], (T, N, A, P), jnp.float32, -1, 1),
+            log_pi=jax.random.normal(ks[2], (T, N, A)) * 0.1 - 1.6,
+            reward=jax.random.normal(ks[3], (T, N, A)),
+            next_obs=jax.random.normal(ks[0], (T, N, A, O)),
+            done=jnp.zeros((T, N), jnp.bool_),
+            adv_done=jnp.zeros((T, N), jnp.bool_),
+        )
+        _, metrics = jax.jit(
+            lambda s, k: algo.update(s, roll, k, episodes=jnp.int32(5))
+        )(state, jax.random.PRNGKey(4))
+        assert np.isfinite(float(metrics["adv_mean"]))
+
+    with pytest.raises(ValueError, match="equal per-agent action dims"):
+        MAT(env, MATConfig())
