@@ -90,6 +90,12 @@ def _register_extras():
         _REGISTRY.setdefault("deep-sea-treasure-v0", DeepSeaTreasure)
     except ImportError:
         pass
+    try:
+        from freerl_tpu.envs.goal import GoalPendulum  # noqa
+
+        _REGISTRY.setdefault("GoalPendulum-v1", GoalPendulum)
+    except ImportError:
+        pass
 
 
 _register_extras()
