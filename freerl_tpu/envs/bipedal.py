@@ -10,13 +10,16 @@ the 24-dim observation (hull state, joint angles/speeds, foot contacts,
 10 lidar rays), forward-progress shaping reward with torque cost, -100 on
 hull touch-down.
 
-Solver: maximal-coordinate sequential impulses — per step, 8 velocity
-iterations over {4 revolute point constraints, 4 motor/limit angular
-constraints, foot & hull ground contacts}, then integration plus joint
-positional projection. Deliberate simplifications (documented deviations):
-  - feet contact at the two bottom corners of each lower leg; hull
-    contact (crash) at its polygon vertices;
-  - joint limits enforced by clamped positional correction;
+Solver: maximal-coordinate sequential impulses with Box2D semantics —
+warm-started accumulated impulses (motor/limit budgets and contact
+normal/friction clamp the ACCUMULATED impulse), 16 velocity iterations
+over {4 revolute point constraints, motor/limit angular constraints,
+12 leg-ground contact points}, then integration and 6 nonlinear
+angular-aware position-correction iterations (0.2 Baumgarte, 0.005 slop).
+Calibration vs gym Box2D (results/bipedal_calib): random-policy return
+-101.8+-6 / mean length 383 vs gym's -101.8+-12 / 381; fixed-gait
+policies survive the full horizon in both. Deliberate simplifications:
+  - contacts sampled at leg polygon corners; hull crash at its vertices;
   - lidar by fixed-count ray sampling against the piecewise terrain;
   - terrain is the default (non-hardcore) grass random walk only.
 """
@@ -96,12 +99,22 @@ _J_SPEED = np.array([SPEED_HIP, SPEED_KNEE, SPEED_HIP, SPEED_KNEE])
 _J_LO = np.array([HIP_LO, KNEE_LO, HIP_LO, KNEE_LO])
 _J_HI = np.array([HIP_HI, KNEE_HI, HIP_HI, KNEE_HI])
 
-# foot contact points (lower legs, bottom corners, body frame)
-_FOOT_BODIES = np.array([2, 2, 4, 4])
-_FOOT_PTS = np.array([
+# ground contact points, body frame. Box2D contacts any leg polygon edge
+# with the ground; we sample the polygon corners: 4 per lower leg + the 2
+# bottom corners of each upper leg (12 points). The obs ground-contact
+# flag mirrors gym's per-lower-leg-body contact flag (indices in _FOOT_*).
+_LLEG_CORNERS = [
     (-_LLEG_W / 2, -LEG_H / 2), (_LLEG_W / 2, -LEG_H / 2),
-    (-_LLEG_W / 2, -LEG_H / 2), (_LLEG_W / 2, -LEG_H / 2),
-])
+    (-_LLEG_W / 2, LEG_H / 2), (_LLEG_W / 2, LEG_H / 2),
+]
+_ULEG_BOTTOM = [(-LEG_W / 2, -LEG_H / 2), (LEG_W / 2, -LEG_H / 2)]
+_FOOT_BODIES = np.array([2] * 4 + [1] * 2 + [4] * 4 + [3] * 2)
+_FOOT_PTS = np.array(
+    _LLEG_CORNERS + _ULEG_BOTTOM + _LLEG_CORNERS + _ULEG_BOTTOM
+)
+_N_CONTACT = len(_FOOT_BODIES)
+_FOOT_L = slice(0, 4)     # lower-leg L corners (obs contact flag)
+_FOOT_R = slice(6, 10)    # lower-leg R corners
 
 _LIDAR_SAMPLES = 24
 
@@ -115,6 +128,13 @@ class WalkerState:
     terrain: jnp.ndarray  # (TERRAIN_LENGTH,) heights
     prev_shaping: jnp.ndarray
     t: jnp.ndarray
+    # warm-start impulse caches (Box2D-style): carried across steps so the
+    # solver starts near last step's solution and stiffens in ~2 iterations
+    acc_joint: jnp.ndarray   # (4, 2) revolute point impulses
+    acc_motor: jnp.ndarray   # (4,)   motor angular impulses
+    acc_limit: jnp.ndarray   # (4,)   joint-limit angular impulses
+    acc_cn: jnp.ndarray      # (_N_CONTACT,) contact normal impulses
+    acc_ct: jnp.ndarray      # (_N_CONTACT,) contact tangent impulses
 
 
 def _rot(angle, v):
@@ -185,6 +205,11 @@ class BipedalWalker(Env):
             terrain=terrain,
             prev_shaping=jnp.float32(0.0),
             t=jnp.int32(0),
+            acc_joint=jnp.zeros((4, 2)),
+            acc_motor=jnp.zeros((4,)),
+            acc_limit=jnp.zeros((4,)),
+            acc_cn=jnp.zeros((_N_CONTACT,)),
+            acc_ct=jnp.zeros((_N_CONTACT,)),
         )
         obs = self.observation(state)
         shaping = (
@@ -213,8 +238,8 @@ class BipedalWalker(Env):
              state.omega[3:4]]
         )
         _, _, sep = self._foot_contacts(state)
-        c_l = jnp.maximum(sep[0] < 0.01, sep[1] < 0.01).astype(jnp.float32)
-        c_r = jnp.maximum(sep[2] < 0.01, sep[3] < 0.01).astype(jnp.float32)
+        c_l = jnp.any(sep[_FOOT_L] < 0.01).astype(jnp.float32)
+        c_r = jnp.any(sep[_FOOT_R] < 0.01).astype(jnp.float32)
 
         # lidar: 10 rays from the hull center, angles 1.5*i/10 from -y
         lidar_pos = state.pos[0]
@@ -250,62 +275,116 @@ class BipedalWalker(Env):
         ])
 
     # ------------------------------------------------------------------
+    def _terrain_normal(self, terrain, x):
+        """Unit surface normal of the terrain segment under x."""
+        fx = jnp.clip(x / TERRAIN_STEP, 0.0, TERRAIN_LENGTH - 1.001)
+        i = jnp.floor(fx).astype(jnp.int32)
+        dy = terrain[i + 1] - terrain[i]
+        n = jnp.stack([-dy, jnp.full_like(dy, TERRAIN_STEP)], axis=-1)
+        return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
+    # ------------------------------------------------------------------
     def step(self, state, action, key):
+        """One 1/50 s step: Box2D-style sequential impulses.
+
+        Solver semantics follow the published impulse-solver recipe the
+        gym env relies on (accumulated-impulse clamping, warm starting,
+        then nonlinear Gauss-Seidel position correction) re-expressed as
+        trace-time-unrolled JAX ops over the 5-body system so thousands
+        of walkers vmap onto the VPU:
+          - motor/limit angular impulses clamp the ACCUMULATED impulse to
+            the torque budget (MOTORS_TORQUE*|a|*dt), not each iterate;
+          - contact normal impulses accumulate with >=0 clamp; friction
+            clamps to mu*accumulated_normal;
+          - warm start from last step's cached impulses (state.acc_*);
+          - position phase recomputes anchors each iteration and applies
+            angular-aware corrections (0.2 Baumgarte, 0.005 slop).
+        """
         a = jnp.clip(jnp.reshape(action, (4,)), -1.0, 1.0)
-        mass = self.mass
-        inertia = self.inertia
-        inv_m = 1.0 / mass
-        inv_i = 1.0 / inertia
+        inv_m = 1.0 / self.mass
+        inv_i = 1.0 / self.inertia
 
         vel = state.vel + jnp.array([[0.0, GRAVITY]]) * DT
         omega = state.omega
 
         ja, jb = jnp.asarray(_J_A), jnp.asarray(_J_B)
-        ra = _rot(state.angle[ja], jnp.asarray(_ANCH_A, jnp.float32))
-        rb = _rot(state.angle[jb], jnp.asarray(_ANCH_B, jnp.float32))
+        anch_a = jnp.asarray(_ANCH_A, jnp.float32)
+        anch_b = jnp.asarray(_ANCH_B, jnp.float32)
+        ra = _rot(state.angle[ja], anch_a)
+        rb = _rot(state.angle[jb], anch_b)
         speed_lim = jnp.asarray(_J_SPEED, jnp.float32)
         motor_speed = speed_lim * jnp.sign(a)
-        max_imp = MOTORS_TORQUE * jnp.abs(a) * DT
+        max_motor_imp = MOTORS_TORQUE * jnp.abs(a) * DT
 
         world_f, ground, sep0 = self._foot_contacts(state)
         touching = sep0 < 0.005
         fb = jnp.asarray(_FOOT_BODIES)
         rf = world_f - state.pos[fb]
+        cn = self._terrain_normal(state.terrain, world_f[:, 0])  # (4,2)
+        ct = jnp.stack([cn[:, 1], -cn[:, 0]], axis=-1)           # tangent
 
         rel0 = state.angle[jb] - state.angle[ja]
         lo = jnp.asarray(_J_LO, jnp.float32)
         hi = jnp.asarray(_J_HI, jnp.float32)
+        at_lo = rel0 <= lo
+        at_hi = rel0 >= hi
 
+        def cross_s(r, p):  # scalar cross of 2-vectors
+            return r[0] * p[1] - r[1] * p[0]
+
+        # -- warm start: re-apply last step's impulses -------------------
+        accJ = state.acc_joint
+        accM = state.acc_motor
+        accL = jnp.where(at_lo | at_hi, state.acc_limit, 0.0)
+        accN = jnp.where(touching, state.acc_cn, 0.0)
+        accT = jnp.where(touching, state.acc_ct, 0.0)
+        for j in range(4):
+            A, B = int(_J_A[j]), int(_J_B[j])
+            p = accJ[j]
+            ang = accM[j] + accL[j]
+            vel = vel.at[A].add(-p * inv_m[A])
+            vel = vel.at[B].add(p * inv_m[B])
+            omega = omega.at[A].add(-(cross_s(ra[j], p) + ang) * inv_i[A])
+            omega = omega.at[B].add((cross_s(rb[j], p) + ang) * inv_i[B])
+        for c in range(_N_CONTACT):
+            Bc = int(_FOOT_BODIES[c])
+            p = accN[c] * cn[c] + accT[c] * ct[c]
+            vel = vel.at[Bc].add(p * inv_m[Bc])
+            omega = omega.at[Bc].add(cross_s(rf[c], p) * inv_i[Bc])
+
+        # -- velocity iterations with accumulated-impulse clamping ------
         def vel_iter(_, carry):
-            vel, omega = carry
-            # motors: drive relative angular velocity toward the target
+            vel, omega, accJ, accM, accL, accN, accT = carry
             for j in range(4):
                 A, B = int(_J_A[j]), int(_J_B[j])
-                rel_w = omega[B] - omega[A]
                 k_ang = inv_i[A] + inv_i[B]
-                imp = (motor_speed[j] - rel_w) / k_ang
-                imp = jnp.clip(imp, -max_imp[j], max_imp[j])
-                omega = omega.at[A].add(-imp * inv_i[A])
-                omega = omega.at[B].add(imp * inv_i[B])
-                # joint limits: hard-stop impulses when at a bound
+                # motor
                 rel_w = omega[B] - omega[A]
-                at_lo = (rel0[j] <= lo[j]) & (rel_w < 0)
-                at_hi = (rel0[j] >= hi[j]) & (rel_w > 0)
-                stop = jnp.where(at_lo | at_hi, -rel_w / k_ang, 0.0)
-                omega = omega.at[A].add(-stop * inv_i[A])
-                omega = omega.at[B].add(stop * inv_i[B])
-            # revolute point constraints
+                new_acc = jnp.clip(
+                    accM[j] + (motor_speed[j] - rel_w) / k_ang,
+                    -max_motor_imp[j], max_motor_imp[j],
+                )
+                d = new_acc - accM[j]
+                accM = accM.at[j].set(new_acc)
+                omega = omega.at[A].add(-d * inv_i[A])
+                omega = omega.at[B].add(d * inv_i[B])
+                # joint limit hard stop (lower: acc>=0, upper: acc<=0)
+                rel_w = omega[B] - omega[A]
+                raw = accL[j] - rel_w / k_ang
+                new_acc = jnp.where(
+                    at_lo[j], jnp.maximum(raw, 0.0),
+                    jnp.where(at_hi[j], jnp.minimum(raw, 0.0), 0.0),
+                )
+                d = new_acc - accL[j]
+                accL = accL.at[j].set(new_acc)
+                omega = omega.at[A].add(-d * inv_i[A])
+                omega = omega.at[B].add(d * inv_i[B])
             for j in range(4):
                 A, B = int(_J_A[j]), int(_J_B[j])
                 raj, rbj = ra[j], rb[j]
-                va = vel[A] + jnp.stack(
-                    [-omega[A] * raj[1], omega[A] * raj[0]]
-                )
-                vb = vel[B] + jnp.stack(
-                    [-omega[B] * rbj[1], omega[B] * rbj[0]]
-                )
+                va = vel[A] + jnp.stack([-omega[A] * raj[1], omega[A] * raj[0]])
+                vb = vel[B] + jnp.stack([-omega[B] * rbj[1], omega[B] * rbj[0]])
                 c_dot = vb - va
-                # 2x2 effective mass
                 k11 = inv_m[A] + inv_m[B] + inv_i[A] * raj[1]**2 + (
                     inv_i[B] * rbj[1]**2
                 )
@@ -317,71 +396,97 @@ class BipedalWalker(Env):
                 px = -(k22 * c_dot[0] - k12 * c_dot[1]) / det
                 py = -(-k12 * c_dot[0] + k11 * c_dot[1]) / det
                 p = jnp.stack([px, py])
+                accJ = accJ.at[j].add(p)
                 vel = vel.at[A].add(-p * inv_m[A])
                 vel = vel.at[B].add(p * inv_m[B])
-                omega = omega.at[A].add(
-                    -(raj[0] * p[1] - raj[1] * p[0]) * inv_i[A]
-                )
-                omega = omega.at[B].add(
-                    (rbj[0] * p[1] - rbj[1] * p[0]) * inv_i[B]
-                )
-            # foot-ground contacts (normal up, friction along x)
-            for c in range(4):
+                omega = omega.at[A].add(-cross_s(raj, p) * inv_i[A])
+                omega = omega.at[B].add(cross_s(rbj, p) * inv_i[B])
+            for c in range(_N_CONTACT):
                 Bc = int(_FOOT_BODIES[c])
-                r = rf[c]
-                vp = vel[Bc] + jnp.stack(
-                    [-omega[Bc] * r[1], omega[Bc] * r[0]]
-                )
-                k_n = inv_m[Bc] + inv_i[Bc] * r[0]**2
-                jn = jnp.maximum(-vp[1] / k_n, 0.0) * touching[c]
-                k_t = inv_m[Bc] + inv_i[Bc] * r[1]**2
-                jt = jnp.clip(
-                    -vp[0] / k_t, -FRICTION * jn, FRICTION * jn
+                r, n, t = rf[c], cn[c], ct[c]
+                # friction first (Box2D order), bounded by mu*acc_normal
+                vp = vel[Bc] + jnp.stack([-omega[Bc] * r[1], omega[Bc] * r[0]])
+                k_t = inv_m[Bc] + inv_i[Bc] * cross_s(r, t) ** 2
+                max_f = FRICTION * accN[c]
+                new_acc = jnp.clip(
+                    accT[c] - jnp.dot(vp, t) / k_t, -max_f, max_f
                 ) * touching[c]
-                p = jnp.stack([jt, jn])
+                d = new_acc - accT[c]
+                accT = accT.at[c].set(new_acc)
+                p = d * t
                 vel = vel.at[Bc].add(p * inv_m[Bc])
-                omega = omega.at[Bc].add(
-                    (r[0] * p[1] - r[1] * p[0]) * inv_i[Bc]
-                )
-            return vel, omega
+                omega = omega.at[Bc].add(cross_s(r, p) * inv_i[Bc])
+                # normal: accumulated >= 0
+                vp = vel[Bc] + jnp.stack([-omega[Bc] * r[1], omega[Bc] * r[0]])
+                k_n = inv_m[Bc] + inv_i[Bc] * cross_s(r, n) ** 2
+                new_acc = jnp.maximum(
+                    accN[c] - jnp.dot(vp, n) / k_n, 0.0
+                ) * touching[c]
+                d = new_acc - accN[c]
+                accN = accN.at[c].set(new_acc)
+                p = d * n
+                vel = vel.at[Bc].add(p * inv_m[Bc])
+                omega = omega.at[Bc].add(cross_s(r, p) * inv_i[Bc])
+            return vel, omega, accJ, accM, accL, accN, accT
 
-        vel, omega = jax.lax.fori_loop(0, 16, vel_iter, (vel, omega))
+        vel, omega, accJ, accM, accL, accN, accT = jax.lax.fori_loop(
+            0, 16, vel_iter, (vel, omega, accJ, accM, accL, accN, accT)
+        )
 
         pos = state.pos + vel * DT
         angle = state.angle + omega * DT
 
-        # joint positional projection (pull anchors back together)
-        for _ in range(2):
-            ra2 = _rot(angle[ja], jnp.asarray(_ANCH_A, jnp.float32))
-            rb2 = _rot(angle[jb], jnp.asarray(_ANCH_B, jnp.float32))
+        # -- position phase: nonlinear Gauss-Seidel, angular-aware ------
+        for _ in range(6):
             for j in range(4):
                 A, B = int(_J_A[j]), int(_J_B[j])
-                err = (pos[B] + rb2[j]) - (pos[A] + ra2[j])
-                corr = 0.4 * err
-                wa = inv_m[A] / (inv_m[A] + inv_m[B])
-                wb = inv_m[B] / (inv_m[A] + inv_m[B])
-                pos = pos.at[A].add(corr * wa)
-                pos = pos.at[B].add(-corr * wb)
-            # joint angle limits: clamp relative angle by rotating the child
+                ra2 = _rot(angle[A], anch_a[j])
+                rb2 = _rot(angle[B], anch_b[j])
+                C = (pos[B] + rb2) - (pos[A] + ra2)
+                norm = jnp.linalg.norm(C)
+                C = C * jnp.minimum(norm, 0.2) / jnp.maximum(norm, 1e-9)
+                k11 = inv_m[A] + inv_m[B] + inv_i[A] * ra2[1]**2 + (
+                    inv_i[B] * rb2[1]**2
+                )
+                k22 = inv_m[A] + inv_m[B] + inv_i[A] * ra2[0]**2 + (
+                    inv_i[B] * rb2[0]**2
+                )
+                k12 = -inv_i[A] * ra2[0] * ra2[1] - inv_i[B] * rb2[0] * rb2[1]
+                det = k11 * k22 - k12 * k12
+                px = -(k22 * C[0] - k12 * C[1]) / det
+                py = -(-k12 * C[0] + k11 * C[1]) / det
+                p = jnp.stack([px, py])
+                pos = pos.at[A].add(-p * inv_m[A])
+                pos = pos.at[B].add(p * inv_m[B])
+                angle = angle.at[A].add(-cross_s(ra2, p) * inv_i[A])
+                angle = angle.at[B].add(cross_s(rb2, p) * inv_i[B])
+            # joint limit position correction, inertia-weighted
             rel = angle[jb] - angle[ja]
-            clamped = jnp.clip(
-                rel, jnp.asarray(_J_LO, jnp.float32),
-                jnp.asarray(_J_HI, jnp.float32),
-            )
-            angle = angle.at[jb].add(clamped - rel)
-
-        # ground positional projection for feet
-        new_tmp = state.replace(pos=pos, angle=angle)
-        wf, g, sep = self._foot_contacts(new_tmp)
-        for c in range(4):
-            Bc = int(_FOOT_BODIES[c])
-            lift = jnp.maximum(-sep[c] - 0.002, 0.0) * 0.5
-            pos = pos.at[Bc, 1].add(lift)
+            viol = jnp.clip(rel, lo, hi) - rel
+            viol = jnp.clip(viol, -0.14, 0.14)   # max angular correction
+            k_ang = inv_i[ja] + inv_i[jb]
+            angle = angle.at[ja].add(-viol * inv_i[ja] / k_ang)
+            angle = angle.at[jb].add(viol * inv_i[jb] / k_ang)
+            # foot-ground penetration, angular-aware push-out
+            tmp = state.replace(pos=pos, angle=angle)
+            wf, _, sep = self._foot_contacts(tmp)
+            nrm = self._terrain_normal(state.terrain, wf[:, 0])
+            for c in range(_N_CONTACT):
+                Bc = int(_FOOT_BODIES[c])
+                r = wf[c] - pos[Bc]
+                n = nrm[c]
+                C = jnp.clip(0.2 * (sep[c] + 0.005), -0.2, 0.0)
+                k_n = inv_m[Bc] + inv_i[Bc] * cross_s(r, n) ** 2
+                p = (-C / k_n) * n
+                pos = pos.at[Bc].add(p * inv_m[Bc])
+                angle = angle.at[Bc].add(cross_s(r, p) * inv_i[Bc])
 
         new = WalkerState(
             pos=pos, vel=vel, angle=angle, omega=omega,
             terrain=state.terrain, prev_shaping=state.prev_shaping,
             t=state.t + 1,
+            acc_joint=accJ, acc_motor=accM, acc_limit=accL,
+            acc_cn=accN, acc_ct=accT,
         )
         obs = self.observation(new)
 

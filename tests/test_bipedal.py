@@ -19,8 +19,8 @@ def test_obs_layout_and_reset():
 
 def test_zero_torque_collapses_like_gym():
     """With zero motor torque the free-jointed walker folds and the hull
-    hits the ground for -100 (gym: ~114 steps; ours collapses faster —
-    the initial settle drop carries more energy — but the same outcome)."""
+    hits the ground for -100 (gym: ~114 steps; ours ~101 with the
+    warm-started accumulated-impulse solver)."""
     env = BipedalWalker()
     step = jax.jit(env.step)
     s, o = env.reset(jax.random.PRNGKey(0))
