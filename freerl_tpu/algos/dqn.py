@@ -54,6 +54,11 @@ class DQNConfig:
     n_atoms: int = 51
     v_min: float = -100.0
     v_max: float = 100.0
+    # pixel observations: set to the env's (H, W, C) to prepend a conv
+    # trunk (nets/cnn.py) that consumes the flat obs vector
+    obs_shape: Optional[tuple] = None
+    conv_arch: str = "small"
+    cnn_features: int = 256
     # when set, updates pmean-reduce gradients over this mesh axis (the
     # shard_map data-parallel learner — freerl_tpu/distributed/dp.py)
     axis_name: Optional[str] = None
@@ -77,12 +82,21 @@ class QNetwork(nn.Module):
     dueling: bool = False
     categorical: bool = False
     n_atoms: int = 51
+    obs_shape: Optional[tuple] = None     # pixel input -> conv trunk
+    conv_arch: str = "small"
+    cnn_features: int = 256
 
     def _dense(self, features):
         return NoisyDense(features) if self.noisy else Dense(features)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = False):
+        if self.obs_shape is not None:
+            from freerl_tpu.nets.cnn import ConvTrunk
+
+            x = ConvTrunk(obs_shape=tuple(self.obs_shape),
+                          features=self.cnn_features,
+                          arch=self.conv_arch)(x)
         call = (lambda m, v: m(v, deterministic)) if self.noisy else (
             lambda m, v: m(v)
         )
@@ -130,6 +144,9 @@ class DQN(OffPolicyAlgo):
             dueling=cfg.dueling,
             categorical=cfg.categorical,
             n_atoms=cfg.n_atoms,
+            obs_shape=cfg.obs_shape,
+            conv_arch=cfg.conv_arch,
+            cnn_features=cfg.cnn_features,
         )
         self.tx = optax.adam(cfg.lr, eps=1e-8)
         if cfg.categorical:

@@ -38,15 +38,31 @@ from freerl_tpu.nets.mlp import Dense
 
 
 # ---------------------------------------------------------------------------
+def _maybe_conv(module, x):
+    """Prepend a conv trunk when the module was built for pixel obs
+    (the reference's Atari gesture, PPO_advance/Buffer.py:374-433)."""
+    if module.obs_shape is not None:
+        from freerl_tpu.nets.cnn import ConvTrunk
+
+        x = ConvTrunk(obs_shape=tuple(module.obs_shape),
+                      features=module.cnn_features,
+                      arch=module.conv_arch)(x)
+    return x
+
+
 class GaussianPolicy(nn.Module):
     action_dim: int
     hidden: Sequence[int] = (128, 128)
     activation: str = "relu"        # 'tanh' under the tanh trick
     orthogonal: bool = False
     max_action: float = 1.0
+    obs_shape: tuple = None
+    conv_arch: str = "small"
+    cnn_features: int = 256
 
     @nn.compact
     def __call__(self, x):
+        x = _maybe_conv(self, x)
         act = jnp.tanh if self.activation == "tanh" else nn.relu
         scheme = "orthogonal" if self.orthogonal else "torch"
         for h in self.hidden:
@@ -66,9 +82,13 @@ class BetaPolicy(nn.Module):
     hidden: Sequence[int] = (128, 128)
     activation: str = "relu"
     orthogonal: bool = False
+    obs_shape: tuple = None
+    conv_arch: str = "small"
+    cnn_features: int = 256
 
     @nn.compact
     def __call__(self, x):
+        x = _maybe_conv(self, x)
         act = jnp.tanh if self.activation == "tanh" else nn.relu
         scheme = "orthogonal" if self.orthogonal else "torch"
         for h in self.hidden:
@@ -83,9 +103,13 @@ class CategoricalPolicy(nn.Module):
     hidden: Sequence[int] = (128, 128)
     activation: str = "relu"
     orthogonal: bool = False
+    obs_shape: tuple = None
+    conv_arch: str = "small"
+    cnn_features: int = 256
 
     @nn.compact
     def __call__(self, x):
+        x = _maybe_conv(self, x)
         act = jnp.tanh if self.activation == "tanh" else nn.relu
         scheme = "orthogonal" if self.orthogonal else "torch"
         for h in self.hidden:
@@ -97,9 +121,13 @@ class VCritic(nn.Module):
     hidden: Sequence[int] = (128, 128)
     activation: str = "relu"
     orthogonal: bool = False
+    obs_shape: tuple = None
+    conv_arch: str = "small"
+    cnn_features: int = 256
 
     @nn.compact
     def __call__(self, x):
+        x = _maybe_conv(self, x)
         act = jnp.tanh if self.activation == "tanh" else nn.relu
         scheme = "orthogonal" if self.orthogonal else "torch"
         for h in self.hidden:
@@ -141,6 +169,10 @@ class PPOConfig:
     std_min: float = 0.1
     std_decay_episodes: int = 200
     axis_name: Optional[str] = None
+    # pixel observations (the Atari path): (H, W, C) enables a conv trunk
+    obs_shape: Optional[tuple] = None
+    conv_arch: str = "small"
+    cnn_features: int = 256
 
     def __post_init__(self):
         # reference validator (PPO_with_tricks): the two reward
@@ -186,18 +218,21 @@ class PPO:
         activation = "tanh" if cfg.tanh else "relu"
         ortho = cfg.orthogonal_init
         hid = tuple(cfg.hidden)
+        conv = dict(obs_shape=cfg.obs_shape, conv_arch=cfg.conv_arch,
+                    cnn_features=cfg.cnn_features)
         if not dim_info.is_continue:
             self.actor = CategoricalPolicy(
-                dim_info.action_dim, hid, activation, ortho
+                dim_info.action_dim, hid, activation, ortho, **conv
             )
         elif cfg.beta_dist:
-            self.actor = BetaPolicy(dim_info.action_dim, hid, activation, ortho)
+            self.actor = BetaPolicy(dim_info.action_dim, hid, activation,
+                                    ortho, **conv)
         else:
             self.actor = GaussianPolicy(
                 dim_info.action_dim, hid, activation, ortho,
-                dim_info.max_action,
+                dim_info.max_action, **conv,
             )
-        self.critic = VCritic(hid, activation, ortho)
+        self.critic = VCritic(hid, activation, ortho, **conv)
         # merged actor+critic optimizer (reference PPO.py:121-152);
         # AdamW eps 1e-6 parity with the vendored c_adamw, or Adam eps 1e-5
         # under the adam_eps trick. lr is injected so lr_decay is dynamic.

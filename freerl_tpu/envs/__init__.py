@@ -96,6 +96,12 @@ def _register_extras():
         _REGISTRY.setdefault("GoalPendulum-v1", GoalPendulum)
     except ImportError:
         pass
+    try:
+        from freerl_tpu.envs.pixel import PixelCartPole  # noqa
+
+        _REGISTRY.setdefault("PixelCartPole-v1", PixelCartPole)
+    except ImportError:
+        pass
 
 
 _register_extras()
