@@ -231,33 +231,50 @@ class MAT:
         return self.decoder.apply({"params": params}, shifted, rep)
 
     def sample_action(self, state: MATState, obs, key):
-        """Autoregressive decode over agents. obs (B, A, O)."""
+        """Autoregressive decode over agents via ``lax.scan``. obs (B, A, O).
+
+        The reference's per-agent python loop (transformer_act.py:13-26,
+        :51-68) would unroll A decoder forwards into the trace; scanning
+        over the agent axis keeps trace/compile cost O(1) in A (SURVEY
+        §7.6 — required for large agent counts). The RNG stream
+        (fold_in(key, i)) and all numerics match the unrolled form.
+        """
         B, A = obs.shape[:2]
         _, rep = self.encoder.apply({"params": state.enc_params}, obs)
         if self.discrete:
-            shifted = jnp.zeros((B, A, self.action_dim + 1))
-            shifted = shifted.at[:, 0, 0].set(1.0)
-            actions = jnp.zeros((B, A), jnp.int32)
-            logps = jnp.zeros((B, A))
-            for i in range(A):
-                logits = self._decode(state.dec_params, shifted, rep)[:, i]
+            shifted0 = jnp.zeros((B, A, self.action_dim + 1))
+            shifted0 = shifted0.at[:, 0, 0].set(1.0)
+
+            def body(shifted, i):
+                out = self._decode(state.dec_params, shifted, rep)
+                logits = jax.lax.dynamic_index_in_dim(
+                    out, i, axis=1, keepdims=False
+                )
                 a = jax.random.categorical(jax.random.fold_in(key, i), logits)
                 logp = jnp.take_along_axis(
                     jax.nn.log_softmax(logits), a[:, None], axis=-1
                 ).squeeze(-1)
-                actions = actions.at[:, i].set(a)
-                logps = logps.at[:, i].set(logp)
-                if i + 1 < A:
-                    shifted = shifted.at[:, i + 1, 1:].set(
-                        jax.nn.one_hot(a, self.action_dim)
-                    )
+                # next agent's input token; i+1 == A drops (past the seq)
+                shifted = shifted.at[:, i + 1, 1:].set(
+                    jax.nn.one_hot(a, self.action_dim), mode="drop"
+                )
+                shifted = shifted.at[:, i + 1, 0].set(0.0, mode="drop")
+                return shifted, (a, logp)
+
+            _, (a_seq, logp_seq) = jax.lax.scan(
+                body, shifted0, jnp.arange(A)
+            )
+            actions = jnp.moveaxis(a_seq, 0, 1)       # (B, A)
+            logps = jnp.moveaxis(logp_seq, 0, 1)
             return actions, actions, logps
-        shifted = jnp.zeros((B, A, self.action_dim))
-        actions = jnp.zeros((B, A, self.action_dim))
-        logps = jnp.zeros((B, A, self.action_dim))
-        for i in range(A):
+
+        shifted0 = jnp.zeros((B, A, self.action_dim))
+
+        def body(shifted, i):
             out, log_std = self._decode(state.dec_params, shifted, rep)
-            mean = jnp.tanh(out[:, i])
+            mean = jnp.tanh(
+                jax.lax.dynamic_index_in_dim(out, i, axis=1, keepdims=False)
+            )
             log_std = jnp.clip(log_std, -20.0, 2.0)
             std = jnp.exp(log_std)
             a = mean + std * jax.random.normal(
@@ -267,10 +284,12 @@ class MAT:
                 -0.5 * ((a - mean) / std) ** 2
                 - log_std - 0.5 * jnp.log(2 * jnp.pi)
             )
-            actions = actions.at[:, i].set(a)
-            logps = logps.at[:, i].set(logp)
-            if i + 1 < A:
-                shifted = shifted.at[:, i + 1].set(a)
+            shifted = shifted.at[:, i + 1].set(a, mode="drop")
+            return shifted, (a, logp)
+
+        _, (a_seq, logp_seq) = jax.lax.scan(body, shifted0, jnp.arange(A))
+        actions = jnp.moveaxis(a_seq, 0, 1)           # (B, A, D)
+        logps = jnp.moveaxis(logp_seq, 0, 1)
         env_a = jnp.clip(actions, -1.0, 1.0)
         return env_a, actions, logps
 
@@ -278,25 +297,36 @@ class MAT:
         B, A = obs.shape[:2]
         _, rep = self.encoder.apply({"params": state.enc_params}, obs)
         if self.discrete:
-            shifted = jnp.zeros((B, A, self.action_dim + 1))
-            shifted = shifted.at[:, 0, 0].set(1.0)
-            actions = jnp.zeros((B, A), jnp.int32)
-            for i in range(A):
-                logits = self._decode(state.dec_params, shifted, rep)[:, i]
+            shifted0 = jnp.zeros((B, A, self.action_dim + 1))
+            shifted0 = shifted0.at[:, 0, 0].set(1.0)
+
+            def body(shifted, i):
+                out = self._decode(state.dec_params, shifted, rep)
+                logits = jax.lax.dynamic_index_in_dim(
+                    out, i, axis=1, keepdims=False
+                )
                 a = jnp.argmax(logits, axis=-1)
-                actions = actions.at[:, i].set(a)
-                if i + 1 < A:
-                    shifted = shifted.at[:, i + 1, 1:].set(
-                        jax.nn.one_hot(a, self.action_dim)
-                    )
-            return actions
-        shifted = jnp.zeros((B, A, self.action_dim))
-        for i in range(A):
+                shifted = shifted.at[:, i + 1, 1:].set(
+                    jax.nn.one_hot(a, self.action_dim), mode="drop"
+                )
+                shifted = shifted.at[:, i + 1, 0].set(0.0, mode="drop")
+                return shifted, a
+
+            _, a_seq = jax.lax.scan(body, shifted0, jnp.arange(A))
+            return jnp.moveaxis(a_seq, 0, 1)
+
+        shifted0 = jnp.zeros((B, A, self.action_dim))
+
+        def body(shifted, i):
             out, _ = self._decode(state.dec_params, shifted, rep)
-            a = jnp.tanh(out[:, i])
-            if i + 1 < A:
-                shifted = shifted.at[:, i + 1].set(a)
-        return jnp.tanh(out)
+            a = jnp.tanh(
+                jax.lax.dynamic_index_in_dim(out, i, axis=1, keepdims=False)
+            )
+            shifted = shifted.at[:, i + 1].set(a, mode="drop")
+            return shifted, a
+
+        _, a_seq = jax.lax.scan(body, shifted0, jnp.arange(A))
+        return jnp.moveaxis(a_seq, 0, 1)
 
     # hooks for the on-policy driver -----------------------------------
     def process_obs(self, state, next_obs, carry_obs):

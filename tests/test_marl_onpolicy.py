@@ -170,3 +170,33 @@ def test_world_comm_heterogeneous_onpolicy():
 
     with pytest.raises(ValueError, match="equal per-agent action dims"):
         MAT(env, MATConfig())
+
+
+def test_mat_scales_to_many_agents():
+    """The scan-based decode keeps trace size O(1) in agent count
+    (SURVEY §7.6): a 64-agent MAT must build, sample, and evaluate."""
+    import time
+
+    from freerl_tpu.core.types import DimInfo
+    from freerl_tpu.envs.base import Env
+
+    class Fake64(Env):
+        name = "fake64"
+        n_agents = 64
+        agent_obs_dims = (12,) * 64
+        agent_act_dims = (4,) * 64
+        dim_info = DimInfo(obs_dim=12, action_dim=4, is_continue=False)
+
+    algo = MAT(Fake64(), MATConfig(n_embd=32))
+    state = algo.init(jax.random.PRNGKey(0))
+    obs = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 12))
+    t0 = time.time()
+    env_a, actions, logp = jax.jit(algo.sample_action)(
+        state, obs, jax.random.PRNGKey(2)
+    )
+    jax.block_until_ready(actions)
+    assert actions.shape == (2, 64) and logp.shape == (2, 64)
+    det = jax.jit(algo.evaluate_action)(state, obs)
+    assert det.shape == (2, 64)
+    # the unrolled form would trace 64 decoder forwards; the scan traces 1
+    assert time.time() - t0 < 120
