@@ -46,6 +46,10 @@ class OffPolicyConfig:
     updates_per_burst: int = 1           # gradient updates per burst
     chunk_size: int = 256                # scan length per jit dispatch
     log_every_chunks: int = 8
+    # periodic full-state checkpointing (the reference's save_freq-episodes
+    # cadence, DQN_file/DQN.py:328-329, in chunk units; 0 = off)
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every_chunks: int = 0
 
 
 @struct.dataclass
@@ -232,6 +236,13 @@ def train_offpolicy(env: Env, algo, cfg: OffPolicyConfig,
         n_steps = int(carry.total_steps) * num_envs
         if on_chunk is not None and chunk_i % cfg.log_every_chunks == 0:
             on_chunk(chunk_i, n_eps, n_steps, carry)
+        if (cfg.checkpoint_dir and cfg.checkpoint_every_chunks
+                and chunk_i % cfg.checkpoint_every_chunks == 0):
+            from freerl_tpu.train.runio import save_checkpoint
+
+            save_checkpoint(
+                f"{cfg.checkpoint_dir}/ckpt", carry.algo_state
+            )
         if n_eps >= cfg.max_episodes or n_steps >= cfg.max_env_steps:
             break
 

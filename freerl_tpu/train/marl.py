@@ -34,6 +34,10 @@ class MARLConfig:
     updates_per_burst: int = 1
     chunk_size: int = 128
     log_every_chunks: int = 8
+    # periodic full-state checkpointing (reference save_freq cadence in
+    # dispatch units; 0 = off)
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 0
 
 
 @struct.dataclass
@@ -191,6 +195,11 @@ def train_marl(env: Env, algo, cfg: MARLConfig,
         n_steps = int(carry.total_steps) * num_envs
         if on_chunk is not None and chunk_i % cfg.log_every_chunks == 0:
             on_chunk(chunk_i, n_eps, n_steps, carry)
+        if (cfg.checkpoint_dir and cfg.checkpoint_every
+                and chunk_i % cfg.checkpoint_every == 0):
+            from freerl_tpu.train.runio import save_checkpoint
+
+            save_checkpoint(f"{cfg.checkpoint_dir}/ckpt", carry.algo_state)
         if n_eps >= cfg.max_episodes or n_steps >= cfg.max_env_steps:
             break
 

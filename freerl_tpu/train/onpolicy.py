@@ -33,6 +33,10 @@ class OnPolicyConfig:
     max_env_steps: int = 50_000_000
     horizon: int = 2048             # total transitions per update
     log_every_iters: int = 10
+    # periodic full-state checkpointing (reference save_freq cadence in
+    # dispatch units; 0 = off)
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 0
 
 
 @struct.dataclass
@@ -148,6 +152,11 @@ def train_onpolicy(env: Env, algo, cfg: OnPolicyConfig,
         n_steps = int(carry.total_steps) * num_envs
         if on_iter is not None and it % cfg.log_every_iters == 0:
             on_iter(it, n_eps, n_steps, carry, metrics)
+        if (cfg.checkpoint_dir and cfg.checkpoint_every
+                and it % cfg.checkpoint_every == 0):
+            from freerl_tpu.train.runio import save_checkpoint
+
+            save_checkpoint(f"{cfg.checkpoint_dir}/ckpt", carry.algo_state)
         if n_eps >= cfg.max_episodes or n_steps >= cfg.max_env_steps:
             break
 

@@ -99,3 +99,27 @@ def test_full_state_checkpoint_roundtrip(tmp_path):
     # params AND optimizer state match bit-exact
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_cadence_in_driver(tmp_path):
+    """checkpoint_every_chunks writes a restorable full train state."""
+    import os
+
+    from freerl_tpu.algos import DQN, DQNConfig
+    from freerl_tpu.envs import make
+    from freerl_tpu.train import OffPolicyConfig, train_offpolicy
+    from freerl_tpu.train.runio import load_checkpoint
+
+    env = make("CartPole-v1")
+    algo = DQN(env.dim_info, DQNConfig(buffer_size=2000, batch_size=32,
+                                       hidden=(32,)))
+    ck = str(tmp_path / "run")
+    cfg = OffPolicyConfig(num_envs=4, max_episodes=20, max_env_steps=1500,
+                          start_steps=200, chunk_size=64,
+                          checkpoint_dir=ck, checkpoint_every_chunks=1)
+    state, returns, info = train_offpolicy(env, algo, cfg)
+    assert os.path.exists(f"{ck}/ckpt")
+    example = algo.init(jax.random.PRNGKey(0))
+    restored = load_checkpoint(f"{ck}/ckpt", example)
+    # the saved state is a real mid-training snapshot, not the init
+    assert int(restored.step) > 0
