@@ -223,14 +223,29 @@ class MASAC(OffPolicyAlgo):
             critic_params[i] = optax.apply_updates(critic_params[i], c_up)
 
             def actor_loss_fn(params):
+                # reference defaults (MAAC_file/MASAC.py:164-172):
+                # action_way '1' — the joint critic input takes FRESH
+                # actions from every agent's current actor (others
+                # stop-gradient), and the actor target is min(Q1,Q2)
                 a_i, logp = self._sample_agent(
                     params, self._agent_obs(batch.obs, i), i, k_new
                 )
-                acts = batch.action.at[..., i, : self.act_dims[i]].set(a_i)
+                acts = []
+                for j in range(self.n_agents):
+                    if j == i:
+                        acts.append(self._pad_act(a_i, j))
+                    else:
+                        a_j, _ = self._sample_agent(
+                            actor_params[j], self._agent_obs(batch.obs, j),
+                            j, jax.random.fold_in(k_new, 1000 + j),
+                        )
+                        acts.append(
+                            jax.lax.stop_gradient(self._pad_act(a_j, j))
+                        )
                 q1, q2 = self._critic_apply(
-                    critic_params[i], batch.obs, acts, i
+                    critic_params[i], batch.obs, jnp.stack(acts, axis=-2), i
                 )
-                q = 0.5 * (q1 + q2)
+                q = jnp.minimum(q1, q2)
                 return jnp.mean(alpha * logp - q), logp
 
             (aloss, logp), a_grads = jax.value_and_grad(

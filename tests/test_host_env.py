@@ -1,5 +1,6 @@
 """Host-callback env bridge: real gymnasium envs inside the jitted loop."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -54,3 +55,48 @@ def test_host_bridge_box2d_lunarlander():
         )
         state = out.state
     assert np.isfinite(np.asarray(out.reward)).all()
+
+
+def test_host_vec_env_multiprocess_workers():
+    """num_workers > 1 shards envs over processes (the PPO_cc 'cuda train
+    / cpu sample' idea, PPO_advance/PPO_cc.py:44-46) with identical
+    protocol semantics."""
+    import gymnasium as gym
+
+    from freerl_tpu.envs.host import HostVecEnv
+
+    env = HostVecEnv(lambda: gym.make("CartPole-v1"), num_envs=4,
+                     num_workers=2)
+    try:
+        state, obs = env.vec_reset(jax.random.PRNGKey(0), 4)
+        assert obs.shape == (4, 4)
+        for t in range(30):
+            actions = jnp.asarray(np.random.randint(0, 2, 4))
+            out = env.vec_step_auto_reset(state, actions,
+                                          jax.random.PRNGKey(t), 4)
+            state = out.state
+            assert out.next_obs.shape == (4, 4)
+            assert np.isfinite(np.asarray(out.reward)).all()
+    finally:
+        env.close()
+
+
+def test_host_vec_env_workers_learn_through_driver():
+    import gymnasium as gym
+
+    from freerl_tpu.algos import DQN, DQNConfig
+    from freerl_tpu.envs.host import HostVecEnv
+    from freerl_tpu.train import OffPolicyConfig, train_offpolicy
+
+    env = HostVecEnv(lambda: gym.make("CartPole-v1"), num_envs=4,
+                     num_workers=2)
+    try:
+        algo = DQN(env.dim_info, DQNConfig(buffer_size=4000, batch_size=32,
+                                           hidden=(32,)))
+        cfg = OffPolicyConfig(num_envs=4, max_episodes=10,
+                              max_env_steps=1200, start_steps=200,
+                              chunk_size=32)
+        _, returns, info = train_offpolicy(env, algo, cfg)
+        assert len(returns) >= 1 and np.isfinite(returns).all()
+    finally:
+        env.close()
