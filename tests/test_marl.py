@@ -238,3 +238,38 @@ def test_maddpg_learns_simple_spread():
     first = returns[:30].mean()
     last = returns[-30:].mean()
     assert last > first + 1.0, (first, last)
+
+
+def test_maddpg_reproduction_actor_learn_way_1():
+    """MADDPG_reproduction mode '1': stochastic DiagGaussian actor trained
+    by -(logp + lambda*entropy) (MADDPG_file/MADDPG_reproduction.py:127-131)."""
+    env = make("simple_spread_v3")
+    algo = MADDPG(env, MADDPGConfig(actor_learn_way="1", batch_size=32,
+                                    buffer_size=2000))
+    state = algo.init(jax.random.PRNGKey(0))
+    from freerl_tpu.core.types import Transition
+    from freerl_tpu.train.marl import _example_transition
+
+    buf = algo.make_buffer(_example_transition(env))
+    key = jax.random.PRNGKey(1)
+    A, b = env.n_agents, 64
+    buf = buf.add(Transition(
+        obs=jax.random.normal(key, (b, A, env.dim_info.obs_dim)),
+        action=jax.random.uniform(key, (b, A, 5), jnp.float32, -1, 1),
+        reward=jax.random.normal(key, (b, A)),
+        next_obs=jax.random.normal(key, (b, A, env.dim_info.obs_dim)),
+        done=jnp.zeros((b,), jnp.bool_),
+        episode_done=jnp.zeros((b,), jnp.bool_),
+    ))
+    state2, buf, metrics = jax.jit(
+        lambda s, b_, k: algo.learn_step(s, b_, k, 1)
+    )(state, buf, jax.random.PRNGKey(2))
+    # params moved and sampling is stochastic
+    moved = jax.tree.leaves(jax.tree.map(
+        lambda a, b: jnp.any(a != b), state.actor_params, state2.actor_params
+    ))
+    assert any(bool(x) for x in moved)
+    obs = jnp.zeros((4, env.n_agents, env.dim_info.obs_dim))
+    a1 = algo.select_action(state2, obs, jax.random.PRNGKey(3))
+    a2 = algo.select_action(state2, obs, jax.random.PRNGKey(4))
+    assert not np.allclose(np.asarray(a1), np.asarray(a2))
