@@ -34,7 +34,10 @@ class OffPolicyAlgo:
     def make_buffer(self, example: Transition):
         from freerl_tpu.buffers.uniform import ReplayBuffer
 
-        return ReplayBuffer.create(self.cfg.buffer_size, example)
+        return ReplayBuffer.create(
+            self.cfg.buffer_size, example,
+            bf16_storage=getattr(self.cfg, "bf16_replay", False),
+        )
 
     def process_obs(self, state, next_obs, carry_obs):
         return state, next_obs, carry_obs

@@ -59,6 +59,9 @@ class DQNConfig:
     obs_shape: Optional[tuple] = None
     conv_arch: str = "small"
     cnn_features: int = 256
+    # store the replay ring's float leaves in bfloat16 (halved HBM
+    # footprint/bandwidth; samples upcast to f32 for the update math)
+    bf16_replay: bool = False
     # when set, updates pmean-reduce gradients over this mesh axis (the
     # shard_map data-parallel learner — freerl_tpu/distributed/dp.py)
     axis_name: Optional[str] = None

@@ -25,20 +25,31 @@ class ReplayBuffer:
     pos: jnp.ndarray           # int32 next write index
     size: jnp.ndarray          # int32 current fill
     capacity: int = struct.field(pytree_node=False)
+    # store float leaves in bfloat16: halves the ring's HBM footprint and
+    # the add/sample bandwidth at >=100k-env scales; samples are upcast
+    # back to float32 so the learner math is unchanged (opt-in — bf16
+    # quantizes observations to 8 mantissa bits)
+    bf16_storage: bool = struct.field(pytree_node=False, default=False)
 
     # ------------------------------------------------------------------
     @classmethod
-    def create(cls, capacity: int, example: Transition) -> "ReplayBuffer":
+    def create(cls, capacity: int, example: Transition,
+               bf16_storage: bool = False) -> "ReplayBuffer":
         """Allocate from a single example transition (no batch dim)."""
-        data = jax.tree.map(
-            lambda x: jnp.zeros((capacity,) + jnp.shape(x), jnp.asarray(x).dtype),
-            example,
-        )
+
+        def alloc(x):
+            dt = jnp.asarray(x).dtype
+            if bf16_storage and dt == jnp.float32:
+                dt = jnp.bfloat16
+            return jnp.zeros((capacity,) + jnp.shape(x), dt)
+
+        data = jax.tree.map(alloc, example)
         return cls(
             data=data,
             pos=jnp.int32(0),
             size=jnp.int32(0),
             capacity=capacity,
+            bf16_storage=bf16_storage,
         )
 
     # ------------------------------------------------------------------
@@ -47,7 +58,8 @@ class ReplayBuffer:
         b = jax.tree.leaves(batch)[0].shape[0]
         idx = (self.pos + jnp.arange(b)) % self.capacity
         data = jax.tree.map(
-            lambda buf, new: buf.at[idx].set(new), self.data, batch
+            lambda buf, new: buf.at[idx].set(new.astype(buf.dtype)),
+            self.data, batch,
         )
         return self.replace(
             data=data,
@@ -56,12 +68,21 @@ class ReplayBuffer:
         )
 
     # ------------------------------------------------------------------
+    def _upcast(self, batch: Transition) -> Transition:
+        if not self.bf16_storage:
+            return batch
+        return jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if x.dtype == jnp.bfloat16 else x,
+            batch,
+        )
+
     def sample(self, key: jax.Array, batch_size: int) -> Transition:
         idx = jax.random.randint(key, (batch_size,), 0, self.size)
-        return jax.tree.map(lambda buf: buf[idx], self.data)
+        return self._upcast(jax.tree.map(lambda buf: buf[idx], self.data))
 
     def gather(self, idx: jnp.ndarray) -> Transition:
-        return jax.tree.map(lambda buf: buf[idx], self.data)
+        return self._upcast(jax.tree.map(lambda buf: buf[idx], self.data))
 
     def __len__(self):  # host-side convenience
         return int(self.size)

@@ -140,3 +140,29 @@ def test_nstep_sample_range_respects_successors():
     idx = nstep_sample_range(jnp.int32(16), 16, jnp.int32(5), 2, 3, key, 256)
     d = (np.asarray(idx) - 5) % 16
     assert d.max() < 12
+
+
+def test_bf16_storage_roundtrip():
+    """bf16 ring stores float leaves at half width; samples upcast to f32."""
+    ex = Transition(
+        obs=jnp.zeros((4,), jnp.float32),
+        action=jnp.zeros((), jnp.int32),
+        reward=jnp.zeros((), jnp.float32),
+        next_obs=jnp.zeros((4,), jnp.float32),
+        done=jnp.zeros((), jnp.bool_),
+        episode_done=jnp.zeros((), jnp.bool_),
+    )
+    buf = ReplayBuffer.create(64, ex, bf16_storage=True)
+    assert buf.data.obs.dtype == jnp.bfloat16
+    assert buf.data.action.dtype == jnp.int32      # non-float untouched
+    batch = Transition(
+        obs=jnp.full((8, 4), 1.5), action=jnp.arange(8, dtype=jnp.int32),
+        reward=jnp.full((8,), -2.25), next_obs=jnp.full((8, 4), 0.125),
+        done=jnp.zeros((8,), jnp.bool_), episode_done=jnp.zeros((8,), jnp.bool_),
+    )
+    buf = buf.add(batch)
+    out = buf.sample(jax.random.PRNGKey(0), 16)
+    assert out.obs.dtype == jnp.float32 and out.reward.dtype == jnp.float32
+    # bf16 represents these values exactly
+    assert set(np.unique(np.asarray(out.obs))) <= {0.0, 1.5}
+    assert set(np.unique(np.asarray(out.reward))) <= {0.0, -2.25}
