@@ -8,6 +8,7 @@ from freerl_tpu.algos.maddpg import MADDPG, MADDPGConfig, MATD3
 from freerl_tpu.algos.masac import MASAC, MASACConfig
 from freerl_tpu.algos.maac import MAAC, MAACConfig
 from freerl_tpu.algos.mappo import IPPO, MAPPO, MAPPOConfig
+from freerl_tpu.algos.rmappo import RIPPO, RMAPPO, RMAPPOConfig
 from freerl_tpu.algos.happo import HAPPO, HAPPOConfig
 from freerl_tpu.algos.mat import MAT, MATConfig
 from freerl_tpu.algos.gail import GAIL, GAILConfig, ExpertData, train_gail
@@ -25,6 +26,7 @@ __all__ = [
     "MASAC", "MASACConfig",
     "MAAC", "MAACConfig",
     "MAPPO", "MAPPOConfig", "IPPO",
+    "RMAPPO", "RMAPPOConfig", "RIPPO",
     "HAPPO", "HAPPOConfig",
     "MAT", "MATConfig",
     "GAIL", "GAILConfig", "ExpertData", "train_gail",

@@ -50,7 +50,19 @@ _DDPG_SUPPLEMENTS = {
 OFFPOLICY = {"DQN", "DDPG", "TD3", "SAC", "ENVELOPE"}
 ONPOLICY = {"PPO", "REINFORCE", "MAT"}
 MARL_OFF = {"MADDPG", "MATD3", "MASAC", "MAAC"}
-MARL_ON = {"MAPPO", "HAPPO", "IPPO"}
+MARL_ON = {"MAPPO", "HAPPO", "IPPO", "RMAPPO", "RIPPO"}
+
+# recurrent variants take the trick subset that composes with BPTT
+_RMAPPO_TRICKS = {
+    k: v for k, v in (
+        ("adv_norm", "adv_norm"), ("ObsNorm", "obs_norm"),
+        ("reward_norm", "reward_norm"),
+        ("reward_scaling", "reward_scaling"),
+        ("orthogonal_init", "orthogonal_init"), ("adam_eps", "adam_eps"),
+        ("lr_decay", "lr_decay"), ("ValueClip", "value_clip"),
+        ("huber_loss", "huber_loss"), ("LayerNorm", "layer_norm"),
+    )
+}
 
 
 def _apply_tricks(cfg, tricks, table, algo):
@@ -133,6 +145,14 @@ def build(args):
             buffer_size=args.buffer_size, batch_size=args.batch_size,
             num_envs=n_envs))
     if a in MARL_ON:
+        if a in ("RMAPPO", "RIPPO"):
+            rcfg = _apply_tricks(
+                algos.RMAPPOConfig(num_envs=n_envs, horizon=args.horizon),
+                args.trick, _RMAPPO_TRICKS, a,
+            )
+            if a == "RIPPO":
+                return env, algos.RIPPO(env, rcfg)
+            return env, algos.RMAPPO(env, rcfg)
         cfg = _apply_tricks(
             algos.MAPPOConfig(num_envs=n_envs, horizon=args.horizon),
             args.trick, _MAPPO_TRICKS, a,

@@ -49,6 +49,10 @@ class OnPolicyCarry:
     ep_counter: jnp.ndarray
     episode_returns: jnp.ndarray
     total_steps: jnp.ndarray
+    # recurrent algos (algos/rmappo.py) carry GRU hiddens + the previous
+    # step's episode_done (hidden-reset signal) through the rollout
+    policy_carry: object = ()
+    done_prev: object = ()
 
 
 def train_onpolicy(env: Env, algo, cfg: OnPolicyConfig,
@@ -67,6 +71,8 @@ def train_onpolicy(env: Env, algo, cfg: OnPolicyConfig,
         getattr(env, "action_space_01", False) and env.dim_info.is_continue
     )
 
+    recurrent = hasattr(algo, "init_policy_carry")
+
     key = jax.random.PRNGKey(cfg.seed)
     k_algo, k_env, k_loop = jax.random.split(key, 3)
     algo_state = algo.init(k_algo)
@@ -82,13 +88,26 @@ def train_onpolicy(env: Env, algo, cfg: OnPolicyConfig,
         ep_counter=jnp.int32(0),
         episode_returns=jnp.zeros(rec_shape, jnp.float32),
         total_steps=jnp.int32(0),
+        policy_carry=(
+            algo.init_policy_carry(num_envs) if recurrent else ()
+        ),
+        done_prev=(
+            jnp.zeros((num_envs,), jnp.bool_) if recurrent else ()
+        ),
     )
 
     def rollout_step(carry: OnPolicyCarry, _):
         k, k_act, k_step = jax.random.split(carry.key, 3)
-        env_a, stored_a, logp = algo.sample_action(
-            carry.algo_state, carry.obs, k_act
-        )
+        if recurrent:
+            env_a, stored_a, logp, policy_carry, extras = algo.sample_action(
+                carry.algo_state, carry.obs, k_act,
+                carry.policy_carry, carry.done_prev,
+            )
+        else:
+            env_a, stored_a, logp = algo.sample_action(
+                carry.algo_state, carry.obs, k_act
+            )
+            policy_carry, extras = (), ()
         if remap01:
             env_a = (env_a + 1.0) / 2.0
         out = vec_step_auto_reset(env, carry.env_state, env_a, k_step,
@@ -130,16 +149,26 @@ def train_onpolicy(env: Env, algo, cfg: OnPolicyConfig,
             ep_counter=ep_counter,
             episode_returns=episode_returns,
             total_steps=carry.total_steps + 1,
+            policy_carry=policy_carry,
+            done_prev=dones if recurrent else (),
         )
-        return new_carry, step_data
+        return new_carry, (step_data, extras)
 
     @jax.jit
     def run_iteration(carry: OnPolicyCarry):
-        carry, rollout = jax.lax.scan(rollout_step, carry, None, length=T)
-        k, k_upd = jax.random.split(carry.key)
-        algo_state, metrics = algo.update(
-            carry.algo_state, rollout, k_upd, episodes=carry.ep_counter
+        carry, (rollout, extras) = jax.lax.scan(
+            rollout_step, carry, None, length=T
         )
+        k, k_upd = jax.random.split(carry.key)
+        if recurrent:
+            algo_state, metrics = algo.update(
+                carry.algo_state, rollout, k_upd,
+                episodes=carry.ep_counter, extras=extras,
+            )
+        else:
+            algo_state, metrics = algo.update(
+                carry.algo_state, rollout, k_upd, episodes=carry.ep_counter
+            )
         carry = carry.replace(algo_state=algo_state, key=k)
         return carry, metrics
 
