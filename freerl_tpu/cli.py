@@ -100,7 +100,9 @@ def build(args):
     if a == "DDPG":
         cfg = _apply_tricks(
             algos.DDPGConfig(buffer_size=args.buffer_size,
-                             batch_size=args.batch_size, num_envs=n_envs),
+                             batch_size=args.batch_size, num_envs=n_envs,
+                             gauss_sigma=args.gauss_sigma,
+                             noise_init_scale=args.noise_init_scale),
             args.trick, _DDPG_SUPPLEMENTS, a,
         )
         return env, algos.DDPG(env.dim_info, cfg)
@@ -184,6 +186,13 @@ def main(argv=None):
     p.add_argument("--discrete_actions", action="store_true")
     p.add_argument("--results_root", default="results")
     p.add_argument("--no_tensorboard", action="store_true")
+    p.add_argument("--gauss_sigma", type=float, default=0.1,
+                   help="DDPG exploration noise std (reference gauss_sigma; "
+                        "its MountainCarContinuous runs use 1.0 — "
+                        "DDPG_file/DDPG_simple.py:261 comment)")
+    p.add_argument("--noise_init_scale", type=float, default=None,
+                   help="if set, linear per-episode noise-scale decay from "
+                        "this value (reference gauss_init_scale)")
     p.add_argument("--save_freq", type=int, default=0,
                    help="checkpoint every N episodes mid-run (reference "
                         "save_freq, DQN_file/DQN.py:328-329); 0 = only at "
@@ -266,8 +275,8 @@ def main(argv=None):
           f"steps/s: {info['env_steps_per_s']:.0f}")
     print(f"final-50 mean return: {float(np.mean(last)):.2f}")
     print(f"curve: {curve_path}\ncheckpoint: {ckpt_path}")
-    return 0
+    return model_dir
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    main()

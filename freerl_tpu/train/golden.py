@@ -34,7 +34,20 @@ class GoldenSpec:
     window: int = 50               # final-N episode window
     slack: float = 0.0             # tolerance below the reference mean
     note: str = ""
+    # from-scratch regeneration recipe: CLI argv per seed ('{seed}'
+    # placeholder), consumed by ``regenerate()`` / ``--regenerate``
+    regen: tuple = ()
+    regen_seeds: tuple = (0,)
 
+
+# reference protocol (DQN_file/DQN.py:227-253 argparse defaults): 500
+# episodes, batch 256, buffer 1e6, start_steps 500, 1 update per env
+# step (kept exactly: 8 envs x updates_per_burst 8)
+_DQN_LL = ("--algo", "DQN", "--env_name", "LunarLander-v2",
+           "--max_episodes", "500", "--num_envs", "8",
+           "--updates_per_burst", "8", "--batch_size", "256",
+           "--buffer_size", "1000000", "--start_steps", "500",
+           "--seed", "{seed}")
 
 SPECS: List[GoldenSpec] = [
     GoldenSpec(
@@ -43,6 +56,7 @@ SPECS: List[GoldenSpec] = [
         # ref per-seed final-50: 235/228/-92 (mean 123); its own seed
         # spread is ~150, accept within one spread
         slack=150.0, note="reference seed spread is ±150",
+        regen=_DQN_LL, regen_seeds=(0, 10, 100),
     ),
     GoldenSpec(
         "BipedalWalker-v3", "DQN_3_seed",
@@ -87,7 +101,17 @@ SPECS: List[GoldenSpec] = [
     GoldenSpec(
         "simple_spread_v3", "MASAC_1_seed",
         "MAAC_file/learning_curves/simple_spread_v3/MASAC_1_seed.npy",
-        slack=10.0, note="ref MASAC reaches -10; ours -18 (ROADMAP)",
+        slack=10.0,
+        note="600-ep short protocol; full protocol is MASAC_40k below",
+    ),
+    GoldenSpec(
+        # the reference's committed MASAC curve IS its 40000-episode
+        # lr=1e-4 run downsampled to 600 points (MAAC_file/README.md
+        # "2025.3.22"); MASAC_40k_1_seed.npy is our 40k run in the same
+        # format (scripts/train_spread.py + 600-bin means)
+        "simple_spread_v3", "MASAC_40k_1_seed",
+        "MAAC_file/learning_curves/simple_spread_v3/MASAC_1_seed.npy",
+        slack=0.0, note="full 40k protocol: ours -7.6 vs ref -10.4",
     ),
 ]
 
@@ -122,7 +146,46 @@ def check_all(specs: Optional[List[GoldenSpec]] = None) -> List[dict]:
     return [check(s) for s in (specs or SPECS)]
 
 
+def regenerate(spec: GoldenSpec, results_root: str = "results") -> str:
+    """Re-run a golden curve from scratch through the public CLI (the
+    nightly-golden path: artifacts are reproduced, not just pinned).
+
+    Runs one CLI training per seed in ``spec.regen_seeds``, then stacks
+    the per-seed curves into ``<algo>.npy`` under the learning-curves
+    tree. Returns the artifact path.
+    """
+    if not spec.regen:
+        raise ValueError(f"{spec.env}/{spec.algo} has no regen recipe")
+    from freerl_tpu.cli import main as cli_main
+    from freerl_tpu.train.plotting import plot_learning_curve
+
+    curves = []
+    for seed in spec.regen_seeds:
+        argv = [a.format(seed=seed) for a in spec.regen] + [
+            "--results_root", os.path.join(results_root, "golden_runs"),
+            "--no_tensorboard",
+        ]
+        run_dir = cli_main(argv)
+        algo_name = spec.regen[spec.regen.index("--algo") + 1]
+        curves.append(
+            np.load(os.path.join(run_dir, f"{algo_name}_seed_{seed}.npy"))
+        )
+    out_dir = os.path.join(OURS_ROOT, spec.env)
+    label = spec.algo.rsplit("_", 2)[0]     # 'DQN_3_seed' -> 'DQN'
+    return plot_learning_curve(curves, label=label, out_dir=out_dir,
+                               env_name=spec.env)
+
+
 if __name__ == "__main__":
+    import sys
+
+    if "--regenerate" in sys.argv:
+        targets = [a for a in sys.argv[2:] if not a.startswith("-")]
+        for s in SPECS:
+            key = f"{s.env}/{s.algo}"
+            if s.regen and (not targets or key in targets):
+                print(f"regenerating {key} ...", flush=True)
+                print("saved", regenerate(s), flush=True)
     rows = check_all()
     for r in rows:
         ours = "----" if r["ours"] is None else f"{r['ours']:8.1f}"

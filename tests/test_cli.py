@@ -37,14 +37,14 @@ def test_build_rejects_unknown_trick():
 
 
 def test_cli_end_to_end(tmp_path):
-    rc = main([
+    out_dir = main([
         "--algo", "DQN", "--env_name", "CartPole-v1",
         "--max_episodes", "30", "--num_envs", "4",
         "--buffer_size", "2048", "--results_root", str(tmp_path),
         "--no_tensorboard",
     ])
-    assert rc == 0
     run_dir = tmp_path / "CartPole-v1" / "DQN_1"
+    assert str(run_dir) == out_dir
     assert (run_dir / "DQN_seed_0.npy").exists()
     assert (run_dir / "checkpoint").exists()
     curve = np.load(run_dir / "DQN_seed_0.npy")
@@ -54,14 +54,14 @@ def test_cli_end_to_end(tmp_path):
 def test_eval_cli_envelope(tmp_path):
     """eval.py handles the preference-conditioned ENVELOPE policy
     (ADVICE round 1: --max_episodes/--preference were missing)."""
-    rc = main([
+    out_dir = main([
         "--algo", "ENVELOPE", "--env_name", "deep-sea-treasure-v0",
         "--max_episodes", "12", "--num_envs", "4",
         "--buffer_size", "2048", "--results_root", str(tmp_path),
         "--no_tensorboard",
     ])
-    assert rc == 0
     run_dir = tmp_path / "deep-sea-treasure-v0" / "ENVELOPE_1"
+    assert str(run_dir) == out_dir
 
     from freerl_tpu.eval import main as eval_main
 

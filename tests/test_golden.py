@@ -3,7 +3,10 @@
 Keeps PARITY.md's learning-curve claims continuously verified (SURVEY §4.2
 3-seed protocol, made a regression test).
 """
-from freerl_tpu.train.golden import SPECS, check_all
+import numpy as np
+
+from freerl_tpu.train import golden
+from freerl_tpu.train.golden import SPECS, GoldenSpec, check_all
 
 
 def test_golden_curves_hold():
@@ -15,3 +18,21 @@ def test_golden_curves_hold():
     missing = [r for r in rows if r["status"] == "missing"]
     assert not missing, missing
     assert len(rows) == len(SPECS)
+
+
+def test_golden_regenerate_from_scratch(tmp_path, monkeypatch):
+    """The nightly-golden path: a spec with a regen recipe reproduces
+    its artifact end-to-end through the CLI (tiny CartPole budget)."""
+    monkeypatch.setattr(golden, "OURS_ROOT", str(tmp_path))
+    spec = GoldenSpec(
+        "CartPole-v1", "DQN_1_seed",
+        "DQN_file/learning_curves/CartPole-v1/DQN_3_seed.npy",
+        regen=("--algo", "DQN", "--env_name", "CartPole-v1",
+               "--max_episodes", "25", "--num_envs", "4",
+               "--buffer_size", "2048", "--seed", "{seed}"),
+        regen_seeds=(0,),
+    )
+    path = golden.regenerate(spec, results_root=str(tmp_path / "runs"))
+    stacked = np.load(str(tmp_path / "CartPole-v1" / "DQN_1_seed.npy"))
+    assert stacked.shape[0] == 1 and stacked.shape[1] >= 25
+    assert path.endswith(".png")
