@@ -24,12 +24,16 @@ from freerl_tpu.envs.base import Env
 
 def evaluate(env: Env, act_fn, n_episodes: int = 100, seed0: int = 0,
              max_steps: Optional[int] = None, multi_agent: bool = False,
-             remap01: Optional[bool] = None):
+             remap01: Optional[bool] = None, carry_init=None):
     """Score a policy over ``n_episodes`` held-out seeds.
 
     ``act_fn(obs) -> action`` must be a deterministic batched policy (the
-    reference's ``evaluate_action``). Returns (n_episodes,) returns, or
-    (n_episodes, n_agents) for multi-agent envs.
+    reference's ``evaluate_action``). Recurrent policies (algos/rmappo.py)
+    pass ``carry_init`` (e.g. ``algo.init_policy_carry(n_episodes)``) and
+    an ``act_fn(obs, carry) -> (action, carry)``; episodes here never
+    reset mid-scan (finished ones freeze), so no hidden resets are needed.
+    Returns (n_episodes,) returns, or (n_episodes, n_agents) for
+    multi-agent envs.
     """
     T = max_steps or env.max_steps
     if remap01 is None:
@@ -45,8 +49,11 @@ def evaluate(env: Env, act_fn, n_episodes: int = 100, seed0: int = 0,
         state, obs = jax.vmap(env.reset)(keys)
 
         def step(carry, t):
-            state, obs, ret, done = carry
-            action = act_fn(obs)
+            state, obs, ret, done, pc = carry
+            if carry_init is not None:
+                action, pc = act_fn(obs, pc)
+            else:
+                action = act_fn(obs)
             if remap01:
                 action = (action + 1.0) / 2.0
             k = jax.random.fold_in(jax.random.PRNGKey(seed0 + 7), t)
@@ -72,15 +79,17 @@ def evaluate(env: Env, act_fn, n_episodes: int = 100, seed0: int = 0,
             obs = jnp.where(
                 done.reshape((-1,) + (1,) * (obs2.ndim - 1)), obs, obs2
             )
-            return (state, obs, ret, done), None
+            return (state, obs, ret, done, pc), None
 
         n_agents = getattr(env, "n_agents", 1)
         ret0 = (
             jnp.zeros((n_episodes, n_agents))
             if multi_agent else jnp.zeros((n_episodes,))
         )
-        (_, _, ret, done), _ = jax.lax.scan(
-            step, (state, obs, ret0, jnp.zeros((n_episodes,), bool)),
+        (_, _, ret, done, _), _ = jax.lax.scan(
+            step,
+            (state, obs, ret0, jnp.zeros((n_episodes,), bool),
+             carry_init if carry_init is not None else ()),
             jnp.arange(T),
         )
         return ret

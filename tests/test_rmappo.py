@@ -159,6 +159,27 @@ def test_rmappo_learns_memory_task():
     assert late > 3.0, f"late mean per-agent return {late} (chance 2.0)"
 
 
+def test_recurrent_evaluate_harness():
+    """train/evaluate.py drives a stateful (hidden-carrying) policy."""
+    from freerl_tpu.train.evaluate import evaluate
+
+    env = MemorySignal()
+    algo = RMAPPO(env, RMAPPOConfig(rnn_hidden=16, hidden=(32,)))
+    state = algo.init(jax.random.PRNGKey(0))
+    n = 8
+
+    def act(obs, pc):
+        a, pc = algo.evaluate_action(
+            state, obs, pc, jnp.zeros((obs.shape[0],), jnp.bool_)
+        )
+        return a, pc
+
+    rets = evaluate(env, act, n_episodes=n, multi_agent=True,
+                    carry_init=algo.init_policy_carry(n))
+    assert rets.shape == (n, env.n_agents)
+    assert np.isfinite(rets).all()
+
+
 def test_rippo_independent_mode_runs():
     env = make("simple_spread_v3")
     algo = RIPPO(env, RMAPPOConfig(
