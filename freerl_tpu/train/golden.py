@@ -83,10 +83,23 @@ SPECS: List[GoldenSpec] = [
         slack=5.0,
     ),
     GoldenSpec(
+        # reference protocol: DDPG_simple with gauss_sigma=1, batch 64
+        # (DDPG_file/DDPG_simple.py:258-261 comments name the
+        # MountainCarContinuous overrides), 1 committed seed
+        "MountainCarContinuous-v0", "DDPG_simple_1_seed",
+        "DDPG_file/learning_curves/MountainCarContinuous-v0/"
+        "DDPG_simple_1_seed.npy",
+        slack=2.0,
+        regen=("--algo", "DDPG", "--env_name", "MountainCarContinuous-v0",
+               "--max_episodes", "500", "--num_envs", "8",
+               "--batch_size", "64", "--gauss_sigma", "1.0",
+               "--seed", "{seed}"),
+    ),
+    GoldenSpec(
         "MountainCarContinuous-v0", "DDPG_OUNoise_1_seed",
         "DDPG_file/learning_curves/MountainCarContinuous-v0/"
         "DDPG_simple_1_seed.npy",
-        slack=10.0, note="plain DDPG is seed-sensitive (ROADMAP #2)",
+        slack=10.0, note="OU-noise supplement variant",
     ),
     GoldenSpec(
         "simple_spread_v3", "MADDPG_1_seed",
