@@ -53,9 +53,10 @@ SPECS: List[GoldenSpec] = [
     GoldenSpec(
         "LunarLander-v2", "DQN_3_seed",
         "DQN_file/learning_curves/LunarLander-v2/DQN_3_seed.npy",
-        # ref per-seed final-50: 235/228/-92 (mean 123); its own seed
-        # spread is ~150, accept within one spread
-        slack=150.0, note="reference seed spread is ±150",
+        # ref per-seed final-50: 235/228/-92 (mean 123); ours (regen with
+        # the reference-default batch 256): 125/228/199 (mean 164) — above
+        # the reference; slack covers regen seed variance only
+        slack=50.0, note="ours 164 vs ref 123 (per-seed 125/228/199)",
         regen=_DQN_LL, regen_seeds=(0, 10, 100),
     ),
     GoldenSpec(
