@@ -321,10 +321,10 @@ class RMAPPO:
         A = self.n_agents
         T, N = rollout.reward.shape[:2]
         L = min(cfg.data_chunk_length, T)
-        assert T % L == 0, (
-            f"horizon/num_envs={T} must be divisible by "
-            f"data_chunk_length={L}"
-        )
+        if T % L:
+            # trace-time fallback: largest divisor of T not above the
+            # requested chunk length, so any horizon/num_envs pair works
+            L = next(d for d in range(L, 0, -1) if T % d == 0)
         C = T // L                           # chunks per env
         S = C * N                            # total sequences
         chunks_per_mb = max(1, min(cfg.minibatch_size // L, S))

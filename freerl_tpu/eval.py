@@ -61,7 +61,23 @@ def main(argv=None):
     state = load_checkpoint(os.path.join(args.model_dir, "checkpoint"),
                             example)
 
-    if args.algo == "ENVELOPE":
+    recurrent = hasattr(algo, "init_policy_carry")
+    carry_init = gif_carry = None
+    if recurrent:
+        # GRU policies thread the hidden carry through the scan
+        import jax.numpy as jnp
+
+        carry_init = algo.init_policy_carry(args.n_episodes)
+        gif_carry = algo.init_policy_carry(1)
+        dp = jnp.zeros((args.n_episodes,), jnp.bool_)
+        act_fn = lambda obs, pc: algo.evaluate_action(state, obs, pc, dp)
+
+        def gif_act(obs, pc):
+            a, pc = algo.evaluate_action(
+                state, obs[None], pc, jnp.zeros((1,), jnp.bool_)
+            )
+            return a[0], pc
+    elif args.algo == "ENVELOPE":
         # ENVELOPE policies are preference-conditioned
         # (ENVELOPE_MORL_file/ENVELOPE_DQN.py eval_model:367): score at a
         # fixed preference, scalarizing vector rewards by w·r.
@@ -79,7 +95,7 @@ def main(argv=None):
     returns = evaluate(
         env, act_fn,
         n_episodes=args.n_episodes, seed0=args.seed0,
-        multi_agent=multi_agent,
+        multi_agent=multi_agent, carry_init=carry_init,
     )
     if multi_agent:
         mean, std = returns.mean(axis=0), returns.std(axis=0)
@@ -107,9 +123,9 @@ def main(argv=None):
             else int(np.random.default_rng().integers(0, 10_000))
         )
         gif = render_episode_gif(
-            env, act_fn,
+            env, gif_act if recurrent else act_fn,
             out_path=os.path.join(args.model_dir, "evaluate.gif"),
-            seed=gif_seed,
+            seed=gif_seed, carry_init=gif_carry,
         )
         print(f"gif: {gif} (episode seed {gif_seed})")
     return 0

@@ -71,6 +71,11 @@ SPECS: List[GoldenSpec] = [
         # one of our 3 seeds plateaus at ~0 like PPO often does; the
         # reference's own curve dips similarly early on
         slack=40.0,
+        regen=("--algo", "PPO", "--env_name", "MountainCarContinuous-v0",
+               "--max_episodes", "500", "--num_envs", "8",
+               "--horizon", "2048", "--trick", "ObsNorm",
+               "--seed", "{seed}"),
+        regen_seeds=(0, 10, 100),
     ),
     GoldenSpec(
         "MountainCarContinuous-v0", "SAC_OUNoise_1_seed",

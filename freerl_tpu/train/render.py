@@ -22,12 +22,15 @@ from freerl_tpu.envs.base import Env
 
 def rollout_trace(env: Env, act_fn: Callable, seed: int = 0,
                   max_steps: Optional[int] = None,
-                  remap01: Optional[bool] = None):
+                  remap01: Optional[bool] = None, carry_init=None):
     """Play ONE episode; return (stacked states over T, returns, length).
 
     ``act_fn(obs) -> action`` takes a single unbatched observation (use a
     batched policy via ``lambda o: algo.evaluate_action(s, o[None])[0]``
     composition — here we vmap-free single-env step, so obs is unbatched).
+    Stateful (recurrent) policies pass ``carry_init`` and an
+    ``act_fn(obs, carry) -> (action, carry)`` form, as in
+    train/evaluate.py.
     """
     T = max_steps or env.max_steps
     if remap01 is None:
@@ -41,8 +44,11 @@ def rollout_trace(env: Env, act_fn: Callable, seed: int = 0,
         state0, obs0 = env.reset(jax.random.PRNGKey(seed))
 
         def step(carry, t):
-            state, obs, ret, done = carry
-            action = act_fn(obs)
+            state, obs, ret, done, pc = carry
+            if carry_init is not None:
+                action, pc = act_fn(obs, pc)
+            else:
+                action = act_fn(obs)
             if remap01:
                 action = (action + 1.0) / 2.0
             k = jax.random.fold_in(jax.random.PRNGKey(seed + 13), t)
@@ -58,12 +64,14 @@ def rollout_trace(env: Env, act_fn: Callable, seed: int = 0,
                 lambda new, old: jnp.where(done, old, new), state2, state
             )
             obs = jnp.where(done, obs, obs2)
-            return (state, obs, ret, done), (state, done)
+            return (state, obs, ret, done, pc), (state, done)
 
         n_agents = getattr(env, "n_agents", 1)
         ret0 = jnp.zeros((n_agents,)) if n_agents > 1 else jnp.float32(0.0)
-        (_, _, ret, _), (states, dones) = jax.lax.scan(
-            step, (state0, obs0, ret0, jnp.bool_(False)), jnp.arange(T)
+        pc0 = carry_init if carry_init is not None else ()
+        (_, _, ret, _, _), (states, dones) = jax.lax.scan(
+            step, (state0, obs0, ret0, jnp.bool_(False), pc0),
+            jnp.arange(T)
         )
         # if the episode never finished within T the +1 would index past
         # the trace — clamp to the trace length
@@ -153,7 +161,8 @@ def _draw_fallback(ax, trace, i):
 
 def render_episode_gif(env: Env, act_fn: Callable, out_path: str,
                        seed: int = 0, fps: int = 25,
-                       max_steps: Optional[int] = None) -> str:
+                       max_steps: Optional[int] = None,
+                       carry_init=None) -> str:
     """Replay one episode and write a GIF (reference evaluate.py:45-64)."""
     import matplotlib
 
@@ -161,7 +170,8 @@ def render_episode_gif(env: Env, act_fn: Callable, out_path: str,
     import matplotlib.pyplot as plt
 
     inner = getattr(env, "env", env)   # unwrap DisToConWrapper
-    states, ret, length = rollout_trace(env, act_fn, seed, max_steps)
+    states, ret, length = rollout_trace(env, act_fn, seed, max_steps,
+                                        carry_init=carry_init)
     length = min(length, 400)          # keep the artifact small
 
     name = env.name

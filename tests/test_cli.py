@@ -51,6 +51,27 @@ def test_cli_end_to_end(tmp_path):
     assert len(curve) >= 30
 
 
+def test_eval_cli_recurrent(tmp_path):
+    """eval.py threads the GRU hidden carry through evaluate + gif."""
+    out_dir = main([
+        "--algo", "RMAPPO", "--env_name", "simple_spread_v3",
+        "--max_episodes", "24", "--num_envs", "4", "--horizon", "100",
+        "--results_root", str(tmp_path), "--no_tensorboard",
+    ])
+
+    from freerl_tpu.eval import main as eval_main
+
+    rc = eval_main([
+        "--algo", "RMAPPO", "--env_name", "simple_spread_v3",
+        "--model_dir", out_dir, "--n_episodes", "4",
+    ])
+    assert rc == 0
+    import os
+
+    assert os.path.exists(os.path.join(out_dir, "evaluate.png"))
+    assert os.path.exists(os.path.join(out_dir, "evaluate.gif"))
+
+
 def test_eval_cli_envelope(tmp_path):
     """eval.py handles the preference-conditioned ENVELOPE policy
     (ADVICE round 1: --max_episodes/--preference were missing)."""
