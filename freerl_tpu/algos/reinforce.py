@@ -92,19 +92,36 @@ class REINFORCE:
             (rollout.reward, rollout.adv_done.astype(jnp.float32)),
             reverse=True,
         )
+        # Monte-Carlo validity: a transition's return-to-go is unbiased
+        # only if its episode COMPLETES inside this window (the reference
+        # updates strictly per finished episode, REINFORCE.py:104-130).
+        # Mask the trailing incomplete-episode segment of each env column
+        # — without this, long episodes get systematically penalized as
+        # their tails are scored with truncated returns.
+        def seen_scan(seen, d):
+            seen = jnp.logical_or(seen, d)
+            return seen, seen
+
+        _, valid = jax.lax.scan(
+            seen_scan, jnp.zeros_like(rollout.adv_done[0]),
+            rollout.adv_done, reverse=True,
+        )
+        valid = valid.astype(jnp.float32)
+        n_valid = jnp.maximum(jnp.sum(valid), 1.0)
         if cfg.normalize_returns:
-            returns = (returns - jnp.mean(returns)) / (
-                jnp.std(returns) + 1e-8
-            )
+            mean = jnp.sum(returns * valid) / n_valid
+            var = jnp.sum(jnp.square(returns - mean) * valid) / n_valid
+            returns = (returns - mean) / (jnp.sqrt(var) + 1e-8)
         returns = jax.lax.stop_gradient(returns)
         obs_f = rollout.obs.reshape((-1, self.dim_info.obs_dim))
         act_f = rollout.action.reshape(-1)
         g_f = returns.reshape(-1)
+        v_f = valid.reshape(-1)
 
         def loss_fn(params):
             logits = self.policy.apply({"params": params}, obs_f)
             logp = D.categorical_log_prob(logits, act_f)
-            return jnp.sum(-logp * g_f)
+            return jnp.sum(-logp * g_f * v_f)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         if cfg.axis_name is not None:

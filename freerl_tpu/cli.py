@@ -127,7 +127,7 @@ def build(args):
         return env, algos.PPO(env.dim_info, cfg)
     if a == "REINFORCE":
         return env, algos.REINFORCE(env.dim_info, algos.REINFORCEConfig(
-            num_envs=n_envs))
+            num_envs=n_envs, lr=args.lr))
     if a == "MAT":
         return env, algos.MAT(env, algos.MATConfig(num_envs=n_envs,
                                                    horizon=args.horizon))
@@ -186,6 +186,11 @@ def main(argv=None):
     p.add_argument("--discrete_actions", action="store_true")
     p.add_argument("--results_root", default="results")
     p.add_argument("--no_tensorboard", action="store_true")
+    p.add_argument("--lr", type=float, default=1e-3,
+                   help="REINFORCE policy lr (reference policy_net_lr); "
+                        "the vectorized windowed estimator batches many "
+                        "episodes per update, so ~5e-3 recovers the "
+                        "reference's per-episode-update pace")
     p.add_argument("--gauss_sigma", type=float, default=0.1,
                    help="DDPG exploration noise std (reference gauss_sigma; "
                         "its MountainCarContinuous runs use 1.0 — "
