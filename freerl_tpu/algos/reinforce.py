@@ -2,12 +2,20 @@
 
 Parity surface (REINFORCE_file/REINFORCE.py): 1-hidden-layer-128 softmax
 policy, discounted returns-to-go with done masking (:104-130), returns
-normalized to zero-mean/unit-std, loss = sum(-log_pi * G), Adam.
+normalized to zero-mean/unit-std WITHIN each episode, loss =
+sum(-log_pi * G), and — crucially — one Adam step per finished episode
+(:28 "每1个episode更新一次").
 
-The reference updates once per episode from a python list buffer; here the
-rollout is a (T, N) scan and returns-to-go come from a reverse lax.scan
-cut at episode boundaries — same estimator, vectorized. Runs on the
-on-policy driver (freerl_tpu/train/onpolicy.py).
+The reference updates from a python list buffer holding exactly one
+episode. Here the rollout is a fixed (T, N) window from the on-policy
+driver (freerl_tpu/train/onpolicy.py); ``update`` segments the window
+into completed episodes and replays the reference cadence exactly: a
+``lax.scan`` over episode slots takes one Adam step per completed
+episode, normalizing returns within that episode. Transitions whose
+episode does not finish inside the window are dropped (their
+returns-to-go would be truncated, i.e. biased); choose
+``horizon/num_envs`` comfortably above the env's max episode length so
+the dropped tail stays small.
 """
 from __future__ import annotations
 
@@ -31,6 +39,11 @@ class REINFORCEConfig:
     hidden: Sequence[int] = (128,)
     num_envs: int = 1
     normalize_returns: bool = True
+    # episode slots per update window: one Adam step per completed
+    # episode, up to this many (episodes beyond it in a single window
+    # are dropped — raise it if the env's episodes are very short
+    # relative to horizon/num_envs)
+    max_eps_per_update: int = 64
     axis_name: Optional[str] = None
 
 
@@ -80,59 +93,74 @@ class REINFORCE:
     def update(self, state: REINFORCEState, rollout: Rollout, key,
                episodes=None):
         cfg = self.cfg
+        T, N = rollout.reward.shape
 
-        def scan_fn(g, x):
+        # discounted returns-to-go, reverse scan cut at episode ends
+        # (REINFORCE.py:109-113)
+        def ret_scan(g, x):
             r, ep_done = x
             g = r + cfg.gamma * g * (1.0 - ep_done)
             return g, g
 
         _, returns = jax.lax.scan(
-            scan_fn,
+            ret_scan,
             jnp.zeros_like(rollout.reward[0]),
             (rollout.reward, rollout.adv_done.astype(jnp.float32)),
             reverse=True,
         )
-        # Monte-Carlo validity: a transition's return-to-go is unbiased
-        # only if its episode COMPLETES inside this window (the reference
-        # updates strictly per finished episode, REINFORCE.py:104-130).
-        # Mask the trailing incomplete-episode segment of each env column
-        # — without this, long episodes get systematically penalized as
-        # their tails are scored with truncated returns.
-        def seen_scan(seen, d):
-            seen = jnp.logical_or(seen, d)
-            return seen, seen
 
-        _, valid = jax.lax.scan(
-            seen_scan, jnp.zeros_like(rollout.adv_done[0]),
-            rollout.adv_done, reverse=True,
-        )
-        valid = valid.astype(jnp.float32)
-        n_valid = jnp.maximum(jnp.sum(valid), 1.0)
-        if cfg.normalize_returns:
-            mean = jnp.sum(returns * valid) / n_valid
-            var = jnp.sum(jnp.square(returns - mean) * valid) / n_valid
-            returns = (returns - mean) / (jnp.sqrt(var) + 1e-8)
-        returns = jax.lax.stop_gradient(returns)
+        # episode segmentation: per-env exclusive cumsum of dones gives
+        # each transition its within-column episode index; an episode is
+        # complete (unbiased Monte-Carlo return) iff its done falls
+        # inside this window. Global slot ids interleave env columns so
+        # early episodes across envs update in round-robin order.
+        d = rollout.adv_done.astype(jnp.int32)                   # (T, N)
+        seg = jnp.cumsum(d, axis=0) - d                          # (T, N)
+        n_done = jnp.sum(d, axis=0)                              # (N,)
+        complete = seg < n_done[None, :]
+        slot = seg * N + jnp.arange(N)[None, :]
+        slot = jnp.where(complete, slot, -1)
+
         obs_f = rollout.obs.reshape((-1, self.dim_info.obs_dim))
         act_f = rollout.action.reshape(-1)
-        g_f = returns.reshape(-1)
-        v_f = valid.reshape(-1)
+        g_f = jax.lax.stop_gradient(returns.reshape(-1))
+        slot_f = slot.reshape(-1)
 
-        def loss_fn(params):
-            logits = self.policy.apply({"params": params}, obs_f)
-            logp = D.categorical_log_prob(logits, act_f)
-            return jnp.sum(-logp * g_f * v_f)
+        def ep_step(carry, k):
+            params, opt_state = carry
+            mask = (slot_f == k).astype(jnp.float32)
+            n = jnp.sum(mask)
+            has = n > 0.5
+            nz = jnp.maximum(n, 1.0)
+            if cfg.normalize_returns:
+                mean = jnp.sum(g_f * mask) / nz
+                var = jnp.sum(jnp.square(g_f - mean) * mask) / nz
+                g = (g_f - mean) / (jnp.sqrt(var) + 1e-8)
+            else:
+                g = g_f
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        if cfg.axis_name is not None:
-            grads = jax.lax.pmean(grads, cfg.axis_name)
-        updates, opt_state = self.tx.update(
-            grads, state.opt_state, state.params
+            def loss_fn(p):
+                logits = self.policy.apply({"params": p}, obs_f)
+                logp = D.categorical_log_prob(logits, act_f)
+                return jnp.sum(-logp * g * mask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            if cfg.axis_name is not None:
+                grads = jax.lax.pmean(grads, cfg.axis_name)
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            sel = lambda a, b: jax.tree.map(
+                lambda x, y: jnp.where(has, x, y), a, b
+            )
+            return (sel(new_params, params), sel(new_opt, opt_state)), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            ep_step, (state.params, state.opt_state),
+            jnp.arange(cfg.max_eps_per_update),
         )
-        params = optax.apply_updates(state.params, updates)
         return (
             state.replace(
                 params=params, opt_state=opt_state, step=state.step + 1
             ),
-            {"loss": loss},
+            {"loss": jnp.sum(losses)},
         )

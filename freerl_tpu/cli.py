@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 
 import numpy as np
 
@@ -168,7 +169,9 @@ def build(args):
     raise SystemExit(f"unknown algo {a!r}")
 
 
-def main(argv=None):
+def run(argv=None):
+    """Build + train from CLI flags; returns the run's model_dir (the
+    programmatic entry used by golden.regenerate and tests)."""
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--algo", default="DQN")
     p.add_argument("--env_name", default="CartPole-v1")
@@ -187,10 +190,9 @@ def main(argv=None):
     p.add_argument("--results_root", default="results")
     p.add_argument("--no_tensorboard", action="store_true")
     p.add_argument("--lr", type=float, default=1e-3,
-                   help="REINFORCE policy lr (reference policy_net_lr); "
-                        "the vectorized windowed estimator batches many "
-                        "episodes per update, so ~5e-3 recovers the "
-                        "reference's per-episode-update pace")
+                   help="REINFORCE policy lr (reference policy_net_lr; "
+                        "the update cadence is per finished episode on "
+                        "both sides, so 1e-3 transfers directly)")
     p.add_argument("--gauss_sigma", type=float, default=0.1,
                    help="DDPG exploration noise std (reference gauss_sigma; "
                         "its MountainCarContinuous runs use 1.0 — "
@@ -221,6 +223,13 @@ def main(argv=None):
     model_dir = make_dir(args.results_root, args.env_name, args.algo,
                          trick_dict)
     print(f"model_dir: {model_dir}")
+    # config round-trip: dump every flag so eval.py can rebuild the env +
+    # algorithm without re-typed flags (the reference does this only for
+    # the GAIL family, GAIL_file/PPO2.py:338; here it is universal)
+    import json
+
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump(vars(args), f, indent=2, sort_keys=True)
     writer = MetricsWriter(model_dir, args.algo, args.seed,
                            use_tensorboard=not args.no_tensorboard)
 
@@ -283,5 +292,12 @@ def main(argv=None):
     return model_dir
 
 
+def main(argv=None):
+    """Console entry point: exit-code contract (0 on success). Use
+    :func:`run` to get the run directory programmatically."""
+    run(argv)
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

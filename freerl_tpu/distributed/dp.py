@@ -7,23 +7,47 @@ replicated, and gradients sync with a psum/pmean over ICI inside a
 `shard_map`'d update — XLA collectives are the whole communication backend
 (no NCCL/MPI analogue needed).
 
-Layout: every device runs ``envs_per_device`` env instances and owns a
+Layout: every device runs ``num_envs / n_devices`` env instances and owns a
 shard-local replay ring — experience never crosses chips, only gradients do,
 which is the bandwidth-optimal layout for RL (transitions are bulky, grads of
 a 128-wide MLP are ~100KB). The learner runs under ``axis_name='dp'``; the
 algo's ``update`` pmean-reduces gradients when its config carries that axis
 name, so all replicas apply identical optimizer steps and parameters stay
 replicated with no broadcast.
+
+Two entry points:
+  - :func:`train_offpolicy_sharded` — the production driver:
+    ``lax.scan``-chunked like train/loop.py (one XLA dispatch per
+    ``chunk_size`` vector steps), per-device chronological episode records
+    merged host-side by completion step. ``train_offpolicy(..., mesh=m)``
+    delegates here.
+  - :func:`dp_env_learner_step` — a single-step builder kept for dry-runs
+    and step-level tests.
 """
 from __future__ import annotations
 
+import time
+from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from flax import struct
 from jax.experimental import mesh_utils
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8 moved shard_map out of experimental (check_rep→check_vma)
+    from jax import shard_map as _shard_map
+    _REP_KW = "check_vma"
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+    _REP_KW = "check_rep"
+
+
+def shard_map(f, *, mesh, in_specs, out_specs, check_rep=False):
+    return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, **{_REP_KW: check_rep})
 
 from freerl_tpu.core.types import Transition
 from freerl_tpu.envs.base import Env, vec_reset, vec_step_auto_reset
@@ -44,19 +68,275 @@ def _example_transition(env: Env) -> Transition:
         if di.is_continue
         else jnp.zeros((), jnp.int32)
     )
+    rdim = getattr(env, "reward_dim", 1)
+    reward = jnp.zeros((rdim,) if rdim > 1 else (), jnp.float32)
     return Transition(
         obs=jnp.zeros((di.obs_dim,), jnp.float32),
         action=action,
-        reward=jnp.zeros((), jnp.float32),
+        reward=reward,
         next_obs=jnp.zeros((di.obs_dim,), jnp.float32),
         done=jnp.zeros((), jnp.bool_),
         episode_done=jnp.zeros((), jnp.bool_),
     )
 
 
+# ---------------------------------------------------------------------------
+# production driver: scan-chunked shard_map training loop
+# ---------------------------------------------------------------------------
+@struct.dataclass
+class ShardCarry:
+    """Global view of the sharded loop state.
+
+    Arrays with a leading device axis (size n_dev) are shard-local state;
+    ``algo_state``/``key``/``total_steps``/``update_count`` are replicated.
+    """
+    algo_state: object
+    buffer: object                 # (n_dev, ...) shard-local replay rings
+    env_state: object              # (num_envs, ...) split across devices
+    obs: jnp.ndarray
+    key: jax.Array
+    ep_return: jnp.ndarray         # (num_envs,)
+    done_prev: jnp.ndarray         # (num_envs,)
+    ep_counter: jnp.ndarray        # (n_dev,) per-device completed episodes
+    episode_returns: jnp.ndarray   # (n_dev, cap) per-device chronological
+    episode_steps: jnp.ndarray     # (n_dev, cap) completion vector-step
+    total_steps: jnp.ndarray       # scalar, replicated
+    update_count: jnp.ndarray      # scalar, replicated
+
+
+def train_offpolicy_sharded(env: Env, algo, cfg, mesh: Mesh,
+                            axis: str = "dp", on_chunk=None):
+    """Data-parallel twin of train/loop.py's ``train_offpolicy``.
+
+    Same algorithm contract and reference conventions (start_steps warmup,
+    done_bool-into-buffer, chronological episode record), but the chunked
+    ``lax.scan`` runs inside a ``shard_map`` over ``mesh``: each device
+    steps its env slice, writes its own replay shard, and the learner
+    burst's gradients pmean over ``axis`` (the algo's config must carry
+    ``axis_name=axis`` — asserted below). The merged episode curve orders
+    per-device records by completion step, so the artifact format matches
+    the single-device driver's.
+
+    Note: algos whose ``process_obs`` mutates running normalizer stats
+    would de-replicate that state across devices; the driver asserts the
+    algo doesn't opt into stateful obs processing unless it declares
+    ``dp_safe_process_obs = True`` (i.e. it pmean-syncs internally).
+    """
+    from freerl_tpu.algos.base import ExploreCtx
+
+    n_dev = mesh.devices.size
+    num_envs = cfg.num_envs
+    assert num_envs % n_dev == 0, (num_envs, n_dev)
+    envs_per_dev = num_envs // n_dev
+    aname = getattr(algo.cfg, "axis_name", None)
+    assert aname == axis, (
+        f"algo config must carry axis_name={axis!r} so learn_step pmean-"
+        f"syncs gradients (got {aname!r})"
+    )
+    record_cap = cfg.max_episodes + envs_per_dev + 1
+
+    key = jax.random.PRNGKey(cfg.seed)
+    k_algo, k_env, k_loop = jax.random.split(key, 3)
+    algo_state = algo.init(k_algo)
+
+    def _shard_init(k):
+        me = jax.lax.axis_index(axis)
+        k = jax.random.fold_in(k, me)
+        env_state, obs = vec_reset(env, k, envs_per_dev)
+        buffer = algo.make_buffer(_example_transition(env))
+        buffer = jax.tree.map(lambda x: x[None], buffer)
+        return env_state, obs, buffer
+
+    with mesh:
+        env_state, obs, buffer = jax.jit(shard_map(
+            _shard_init, mesh=mesh, in_specs=P(), out_specs=P(axis),
+            check_rep=False,
+        ))(k_env)
+
+    carry = ShardCarry(
+        algo_state=algo_state,
+        buffer=buffer,
+        env_state=env_state,
+        obs=obs,
+        key=k_loop,
+        ep_return=jnp.zeros((num_envs,), jnp.float32),
+        done_prev=jnp.zeros((num_envs,), jnp.bool_),
+        ep_counter=jnp.zeros((n_dev,), jnp.int32),
+        episode_returns=jnp.zeros((n_dev, record_cap), jnp.float32),
+        episode_steps=jnp.full((n_dev, record_cap), jnp.int32(2**30)),
+        total_steps=jnp.int32(0),
+        update_count=jnp.int32(0),
+    )
+
+    def step_fn(c, _):
+        # shard-local view: buffer/records carry a leading (1,) device axis
+        k, k_base = jax.random.split(c["key"])
+        me = jax.lax.axis_index(axis)
+        kk = jax.random.fold_in(k_base, me)
+        k_act, k_step, k_learn, k_add = jax.random.split(kk, 4)
+        total_env_steps = c["total_steps"] * num_envs
+
+        ctx = ExploreCtx(
+            total_env_steps=total_env_steps,
+            episodes=jnp.sum(c["ep_counter"]),
+            done_prev=c["done_prev"],
+            random_steps=cfg.random_steps,
+        )
+        algo_state, action = algo.explore(c["algo_state"], c["obs"], k_act,
+                                          ctx)
+        out = vec_step_auto_reset(env, c["env_state"], action, k_step,
+                                  envs_per_dev)
+        algo_state, next_obs, carry_obs = algo.process_obs(
+            algo_state, out.next_obs, out.carry_obs
+        )
+        trans = Transition(
+            obs=c["obs"], action=action, reward=out.reward,
+            next_obs=next_obs, done=out.terminated,
+            episode_done=out.episode_done,
+        )
+        buffer = jax.tree.map(lambda x: x[0], c["buffer"])
+        if hasattr(algo, "add_transition"):
+            algo_state, buffer = algo.add_transition(
+                algo_state, buffer, trans, k_add
+            )
+        else:
+            buffer = buffer.add(trans)
+
+        # per-device chronological episode record + completion step
+        step_reward = (
+            out.reward.sum(axis=-1) if out.reward.ndim > 1 else out.reward
+        )
+        ret = c["ep_return"] + step_reward
+        dones = out.episode_done
+        n_count = c["ep_counter"][0]
+        offs = jnp.cumsum(dones.astype(jnp.int32)) - 1
+        slot = jnp.where(dones, n_count + offs, record_cap)
+        episode_returns = c["episode_returns"][0].at[slot].set(
+            ret, mode="drop"
+        )
+        episode_steps = c["episode_steps"][0].at[slot].set(
+            c["total_steps"], mode="drop"
+        )
+        ep_counter = n_count + jnp.sum(dones.astype(jnp.int32))
+        ep_return = jnp.where(dones, 0.0, ret)
+
+        total_steps = c["total_steps"] + 1
+        env_steps_now = total_steps * num_envs
+        do_learn = jnp.logical_and(
+            env_steps_now > cfg.start_steps,
+            (total_steps
+             % max(cfg.learn_interval_steps // num_envs, 1)) == 0,
+        )
+
+        def burst(args):
+            s, b, kb = args
+
+            def one(i, acc):
+                s, b = acc
+                s, b, _ = algo.learn_step(
+                    s, b, jax.random.fold_in(kb, i), envs_per_dev
+                )
+                return (s, b)
+
+            return jax.lax.fori_loop(0, cfg.updates_per_burst, one, (s, b))
+
+        algo_state, buffer = jax.lax.cond(
+            do_learn, burst, lambda a: (a[0], a[1]),
+            (algo_state, buffer, k_learn),
+        )
+        update_count = c["update_count"] + jnp.where(
+            do_learn, cfg.updates_per_burst, 0
+        )
+        new_c = dict(
+            algo_state=algo_state,
+            buffer=jax.tree.map(lambda x: x[None], buffer),
+            env_state=out.state,
+            obs=carry_obs,
+            key=k,
+            ep_return=ep_return,
+            done_prev=dones,
+            ep_counter=ep_counter[None],
+            episode_returns=episode_returns[None],
+            episode_steps=episode_steps[None],
+            total_steps=total_steps,
+            update_count=update_count,
+        )
+        return new_c, None
+
+    def _shard_chunk(c):
+        c, _ = jax.lax.scan(step_fn, c, None, length=cfg.chunk_size)
+        return c
+
+    rep = P()
+    dev = P(axis)
+    spec = dict(
+        algo_state=rep, buffer=dev, env_state=dev, obs=dev, key=rep,
+        ep_return=dev, done_prev=dev, ep_counter=dev, episode_returns=dev,
+        episode_steps=dev, total_steps=rep, update_count=rep,
+    )
+    as_dict = lambda c: {f: getattr(c, f) for f in spec}
+    sharded_chunk = shard_map(
+        _shard_chunk, mesh=mesh,
+        in_specs=(spec,), out_specs=spec, check_rep=False,
+    )
+
+    @partial(jax.jit, donate_argnums=0)
+    def run_chunk(cd):
+        return sharded_chunk(cd)
+
+    carry_d = jax.tree.map(jnp.copy, as_dict(carry))
+    t0 = time.time()
+    chunk_i = 0
+    with mesh:
+        while True:
+            carry_d = run_chunk(carry_d)
+            chunk_i += 1
+            n_eps = int(jnp.sum(carry_d["ep_counter"]))
+            n_steps = int(carry_d["total_steps"]) * num_envs
+            if on_chunk is not None and chunk_i % cfg.log_every_chunks == 0:
+                on_chunk(chunk_i, n_eps, n_steps, ShardCarry(**carry_d))
+            if (cfg.checkpoint_dir and cfg.checkpoint_every_chunks
+                    and chunk_i % cfg.checkpoint_every_chunks == 0):
+                from freerl_tpu.train.runio import save_checkpoint
+
+                save_checkpoint(f"{cfg.checkpoint_dir}/ckpt",
+                                carry_d["algo_state"])
+            if n_eps >= cfg.max_episodes or n_steps >= cfg.max_env_steps:
+                break
+    elapsed = time.time() - t0
+
+    # merge per-device chronological records by completion vector-step
+    counts = np.asarray(carry_d["ep_counter"])
+    rets = np.asarray(carry_d["episode_returns"])
+    steps = np.asarray(carry_d["episode_steps"])
+    rows = []
+    for d in range(n_dev):
+        n = int(counts[d])
+        rows.append(np.stack(
+            [steps[d, :n], np.full(n, d), rets[d, :n]], axis=1
+        ))
+    merged = np.concatenate(rows, axis=0) if rows else np.zeros((0, 3))
+    order = np.lexsort((merged[:, 1], merged[:, 0]))
+    returns = merged[order, 2][: cfg.max_episodes]
+
+    n_steps = int(carry_d["total_steps"]) * num_envs
+    info = {
+        "elapsed_s": elapsed,
+        "env_steps": n_steps,
+        "updates": int(carry_d["update_count"]),
+        "env_steps_per_s": n_steps / max(elapsed, 1e-9),
+        "episodes": int(counts.sum()),
+        "n_devices": n_dev,
+    }
+    return carry_d["algo_state"], returns.astype(np.float32), info
+
+
+# ---------------------------------------------------------------------------
+# single-step builder (dry-runs / step-level tests)
+# ---------------------------------------------------------------------------
 def dp_env_learner_step(env: Env, algo, mesh: Mesh, envs_per_device: int,
                         axis: str = "dp"):
-    """Build the sharded full training step.
+    """Build a single sharded full training step.
 
     Returns ``(init_fn, step_fn)``:
       - ``init_fn(seed) -> carry``: replicated algo state, per-device env
@@ -65,7 +345,6 @@ def dp_env_learner_step(env: Env, algo, mesh: Mesh, envs_per_device: int,
         shard-local buffer add + sample, and a collective-synchronized
         gradient update — one XLA program.
     """
-    n_dev = mesh.devices.size
 
     # ------------------------------------------------------------------
     def _shard_init(key):

@@ -93,13 +93,14 @@ SPECS: List[GoldenSpec] = [
         "CartPole-v1", "REINFORCE_3_seed",
         "REINFORCE_file/learning_curves/CartPole-v1/REINFORCE_3_seed.npy",
         slack=50.0, note="1000-episode Monte-Carlo protocol",
-        # small windows keep the update cadence near the reference's
-        # one-per-episode (414 updates/1000 eps); lr 5e-3 compensates for
-        # batching several episodes per window. Measured final-50 478 at
-        # seed 0 vs the reference's 472.
+        # the reference's exact cadence: one Adam step per finished
+        # episode, lr 1e-3 (algos/reinforce.py segments the window into
+        # episodes). num_envs=1 + horizon 1024 (> 2x CartPole's 500-step
+        # cap) keeps the dropped window-tail small. Measured final-50
+        # 465.6 at seed 0 vs the reference's 472.
         regen=("--algo", "REINFORCE", "--env_name", "CartPole-v1",
-               "--max_episodes", "1000", "--num_envs", "8",
-               "--horizon", "512", "--lr", "5e-3", "--seed", "{seed}"),
+               "--max_episodes", "1000", "--num_envs", "1",
+               "--horizon", "1024", "--lr", "1e-3", "--seed", "{seed}"),
         regen_seeds=(0, 10, 100),
     ),
 ] + [
@@ -235,7 +236,7 @@ def regenerate(spec: GoldenSpec, results_root: str = "results") -> str:
     """
     if not spec.regen:
         raise ValueError(f"{spec.env}/{spec.algo} has no regen recipe")
-    from freerl_tpu.cli import main as cli_main
+    from freerl_tpu.cli import run as cli_run
     from freerl_tpu.train.plotting import plot_learning_curve
 
     curves = []
@@ -244,7 +245,7 @@ def regenerate(spec: GoldenSpec, results_root: str = "results") -> str:
             "--results_root", os.path.join(results_root, "golden_runs"),
             "--no_tensorboard",
         ]
-        run_dir = cli_main(argv)
+        run_dir = cli_run(argv)
         algo_name = spec.regen[spec.regen.index("--algo") + 1]
         curves.append(
             np.load(os.path.join(run_dir, f"{algo_name}_seed_{seed}.npy"))
@@ -256,13 +257,19 @@ def regenerate(spec: GoldenSpec, results_root: str = "results") -> str:
 
 
 if __name__ == "__main__":
-    import sys
+    import argparse
 
-    if "--regenerate" in sys.argv:
-        targets = [a for a in sys.argv[2:] if not a.startswith("-")]
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--regenerate", action="store_true",
+                    help="re-run regen recipes before checking")
+    ap.add_argument("targets", nargs="*",
+                    help="optional '<env>/<algo>' spec keys to regenerate "
+                         "(default: every spec with a recipe)")
+    ns = ap.parse_args()
+    if ns.regenerate:
         for s in SPECS:
             key = f"{s.env}/{s.algo}"
-            if s.regen and (not targets or key in targets):
+            if s.regen and (not ns.targets or key in ns.targets):
                 print(f"regenerating {key} ...", flush=True)
                 print("saved", regenerate(s), flush=True)
     rows = check_all()

@@ -87,15 +87,26 @@ def _example_transition(env: Env) -> Transition:
 
 
 def train_offpolicy(env: Env, algo, cfg: OffPolicyConfig,
-                    on_chunk: Optional[Callable] = None):
+                    on_chunk: Optional[Callable] = None, mesh=None):
     """Generic off-policy driver for DQN/DDPG/TD3/SAC-family algos.
 
     ``algo`` must expose: ``init(key)``, ``make_buffer(example)``,
     ``explore(state, obs, key, total_env_steps, random_steps)`` and
     ``learn_step(state, buffer, key, num_envs)``.
 
+    With ``mesh`` (a jax.sharding.Mesh), the loop runs data-parallel over
+    its devices via distributed/dp.py: per-device env slices + replay
+    shards, pmean-synchronized learner (the algo's config must carry
+    ``axis_name`` matching the mesh axis).
+
     Returns ``(algo_state, episode_returns ndarray, info dict)``.
     """
+    if mesh is not None:
+        from freerl_tpu.distributed.dp import train_offpolicy_sharded
+
+        return train_offpolicy_sharded(env, algo, cfg, mesh,
+                                       axis=mesh.axis_names[0],
+                                       on_chunk=on_chunk)
     num_envs = cfg.num_envs
     record_cap = cfg.max_episodes + num_envs + 1
 

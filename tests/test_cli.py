@@ -3,7 +3,7 @@ import os
 
 import numpy as np
 
-from freerl_tpu.cli import build, main
+from freerl_tpu.cli import build, main, run
 
 
 class _A:
@@ -36,8 +36,19 @@ def test_build_rejects_unknown_trick():
         build(_A(trick=["NotATrick"]))
 
 
+def test_cli_main_exit_code(tmp_path):
+    """main() keeps the console exit-code contract (0 on success)."""
+    rc = main([
+        "--algo", "DQN", "--env_name", "CartPole-v1",
+        "--max_episodes", "5", "--num_envs", "4",
+        "--buffer_size", "1024", "--results_root", str(tmp_path),
+        "--no_tensorboard",
+    ])
+    assert rc == 0
+
+
 def test_cli_end_to_end(tmp_path):
-    out_dir = main([
+    out_dir = run([
         "--algo", "DQN", "--env_name", "CartPole-v1",
         "--max_episodes", "30", "--num_envs", "4",
         "--buffer_size", "2048", "--results_root", str(tmp_path),
@@ -53,7 +64,7 @@ def test_cli_end_to_end(tmp_path):
 
 def test_eval_cli_recurrent(tmp_path):
     """eval.py threads the GRU hidden carry through evaluate + gif."""
-    out_dir = main([
+    out_dir = run([
         "--algo", "RMAPPO", "--env_name", "simple_spread_v3",
         "--max_episodes", "24", "--num_envs", "4", "--horizon", "100",
         "--results_root", str(tmp_path), "--no_tensorboard",
@@ -75,7 +86,7 @@ def test_eval_cli_recurrent(tmp_path):
 def test_eval_cli_envelope(tmp_path):
     """eval.py handles the preference-conditioned ENVELOPE policy
     (ADVICE round 1: --max_episodes/--preference were missing)."""
-    out_dir = main([
+    out_dir = run([
         "--algo", "ENVELOPE", "--env_name", "deep-sea-treasure-v0",
         "--max_episodes", "12", "--num_envs", "4",
         "--buffer_size", "2048", "--results_root", str(tmp_path),

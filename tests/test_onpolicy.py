@@ -126,8 +126,10 @@ def test_ppo_learns_pendulum_with_tricks():
 
 
 def test_reinforce_learns_cartpole():
+    # reference cadence: one Adam step per finished episode; window must
+    # exceed the env's max episode length so episodes complete in-window
     env = make("CartPole-v1")
-    algo = REINFORCE(env.dim_info, REINFORCEConfig(num_envs=8, lr=2e-3))
-    cfg = OnPolicyConfig(num_envs=8, max_episodes=700, horizon=256)
+    algo = REINFORCE(env.dim_info, REINFORCEConfig(num_envs=1, lr=1e-3))
+    cfg = OnPolicyConfig(num_envs=1, max_episodes=400, horizon=1024)
     _, returns, info = train_onpolicy(env, algo, cfg)
     assert returns[-30:].mean() > 80, returns[-30:].mean()
