@@ -6,10 +6,14 @@ update per vector step — as a single jitted scan chunk on the default
 backend (the real TPU chip under the driver; CPU if forced).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": steps/s, "unit": "env_steps/s", "vs_baseline": x}
+  {"metric": ..., "value": steps/s, "unit": "env_steps/s",
+   "vs_baseline": x, "extra": {...}}
 vs_baseline is against the BASELINE.md build target of 1M env-steps/s
 aggregate on one host (the torch reference is single-env, single-process and
-publishes no throughput numbers at all — SURVEY §6).
+publishes no throughput numbers at all — SURVEY §6). "extra" carries the
+companion benches: PPO (on-policy rollout+K-epoch-update hot path,
+Pendulum) and MAPPO (3-agent MPE simple_spread, centralized critics) —
+set BENCH_SKIP_EXTRA=1 for the DQN-only quick run.
 """
 import json
 import os
@@ -24,6 +28,52 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", 256))
 WARMUP_CHUNKS = 2
 MEASURE_CHUNKS = int(os.environ.get("BENCH_CHUNKS", 8))
 BASELINE_STEPS_PER_S = 1_000_000.0
+
+
+def bench_ppo(num_envs=4096, iters=4):
+    """On-policy hot path: T-step rollout scan + full K-epoch minibatch
+    update per iteration, on pure-JAX Pendulum physics."""
+    from freerl_tpu.algos.ppo import PPO, PPOConfig
+    from freerl_tpu.envs import make
+    from freerl_tpu.train.onpolicy import OnPolicyConfig, train_onpolicy
+
+    env = make("Pendulum-v1")
+    horizon = num_envs * 64
+    algo = PPO(env.dim_info, PPOConfig(
+        num_envs=num_envs, horizon=horizon,
+        minibatch_size=min(8192, horizon), K_epochs=10, adv_norm=True,
+    ))
+    cfg = OnPolicyConfig(num_envs=num_envs, horizon=horizon,
+                         max_episodes=100_000,
+                         max_env_steps=num_envs * 64 * iters)
+    _, _, info = train_onpolicy(env, algo, cfg)     # includes compile
+    t0 = time.time()
+    _, _, info = train_onpolicy(env, algo, cfg)     # warm second pass
+    elapsed = time.time() - t0
+    return info["env_steps"] / elapsed
+
+
+def bench_mappo(num_envs=1024, iters=4):
+    """MARL on-policy hot path: 3-agent simple_spread physics, per-agent
+    actors + centralized critics, full MAPPO update."""
+    from freerl_tpu.algos.mappo import MAPPO, MAPPOConfig
+    from freerl_tpu.envs import make
+    from freerl_tpu.train.onpolicy import OnPolicyConfig, train_onpolicy
+
+    env = make("simple_spread_v3")
+    horizon = num_envs * 32
+    algo = MAPPO(env, MAPPOConfig(
+        num_envs=num_envs, horizon=horizon, K_epochs=5,
+        minibatch_size=min(8192, horizon),
+    ))
+    cfg = OnPolicyConfig(num_envs=num_envs, horizon=horizon,
+                         max_episodes=100_000,
+                         max_env_steps=num_envs * 32 * iters)
+    _, _, info = train_onpolicy(env, algo, cfg)     # includes compile
+    t0 = time.time()
+    _, _, info = train_onpolicy(env, algo, cfg)     # warm second pass
+    elapsed = time.time() - t0
+    return info["env_steps"] / elapsed
 
 
 def main():
@@ -100,11 +150,23 @@ def main():
 
     steps = MEASURE_CHUNKS * CHUNK * NUM_ENVS
     sps = steps / elapsed
+
+    extra = {}
+    if not os.environ.get("BENCH_SKIP_EXTRA"):
+        try:
+            extra["ppo_pendulum_env_steps_per_s"] = round(bench_ppo(), 1)
+            extra["mappo_simple_spread_env_steps_per_s"] = round(
+                bench_mappo(), 1
+            )
+        except Exception as e:  # extras must never sink the headline
+            extra["error"] = repr(e)
+
     print(json.dumps({
         "metric": "dqn_lunarlander_env_steps_per_s",
         "value": round(sps, 1),
         "unit": "env_steps/s",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_S, 3),
+        "extra": extra,
     }))
     print(
         f"# backend={jax.default_backend()} num_envs={NUM_ENVS} "

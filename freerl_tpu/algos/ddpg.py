@@ -57,11 +57,16 @@ class TanhActor(nn.Module):
 
 
 class SoftmaxActor(nn.Module):
-    """Discrete DDPG actor: action probabilities (reference Actor_discrete)."""
+    """Discrete DDPG actor: action probabilities (reference Actor_discrete).
+
+    ``logits_out=True`` skips the softmax — the gumbel variant
+    (DDPG_simple_add_discrete_gumbel(lose).py) acts on raw logits.
+    """
 
     action_dim: int
     hidden: Sequence[int] = (128, 128)
     scheme: str = "torch"
+    logits_out: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -70,7 +75,21 @@ class SoftmaxActor(nn.Module):
             x = nn.relu(x)
         out_scheme = "torch" if self.scheme == "torch" else "final"
         logits = Dense(self.action_dim, scheme=out_scheme)(x)
+        if self.logits_out:
+            return logits
         return jax.nn.softmax(logits, axis=-1)
+
+
+def gumbel_softmax(key, logits, temperature=1.0, hard=True):
+    """Categorical reparameterization (Jang et al. 2016; the reference's
+    misc.gumbel_softmax). ``hard=True`` is the straight-through one-hot:
+    forward pass is argmax, gradients flow through the soft sample."""
+    g = jax.random.gumbel(key, logits.shape)
+    y = jax.nn.softmax((logits + g) / temperature, axis=-1)
+    if hard:
+        y_hard = jax.nn.one_hot(jnp.argmax(y, axis=-1), logits.shape[-1])
+        y = y_hard + y - jax.lax.stop_gradient(y)
+    return y
 
 
 class QCritic(nn.Module):
@@ -115,6 +134,11 @@ class DDPGConfig:
     net_init: bool = False         # DDPG paper fan-in/final-uniform init
     # tricks
     popart: bool = False
+    # discrete variant: gumbel-softmax straight-through actor instead of
+    # the softmax-probability actor (the reference kept its attempt as
+    # DDPG_simple_add_discrete_gumbel(lose).py — its softmax variant won)
+    discrete_gumbel: bool = False
+    gumbel_temperature: float = 1.0
     # OU parameters (reference defaults)
     ou_theta: float = 0.15
     ou_sigma: float = 1.0
@@ -148,7 +172,8 @@ class DDPG(OffPolicyAlgo):
             )
         else:
             self.actor = SoftmaxActor(
-                dim_info.action_dim, tuple(cfg.hidden), scheme
+                dim_info.action_dim, tuple(cfg.hidden), scheme,
+                logits_out=cfg.discrete_gumbel,
             )
         self.critic = QCritic(tuple(cfg.hidden), scheme)
         self.actor_tx = optax.chain(
@@ -206,6 +231,10 @@ class DDPG(OffPolicyAlgo):
         return self.actor.apply({"params": state.actor_params}, obs)
 
     def evaluate_action(self, state: DDPGState, obs):
+        # offline eval feeds RAW observations; the ObsNorm supplement
+        # trained the actor on normalized ones (saved running stats)
+        if self.cfg.obs_norm:
+            obs = state.obs_rms.normalize(obs)
         a = self.select_action(state, obs)
         if not self.dim_info.is_continue:
             return jnp.argmax(a, axis=-1)
@@ -220,8 +249,11 @@ class DDPG(OffPolicyAlgo):
         scale = self._noise_scale(ctx.episodes)
 
         if not self.dim_info.is_continue:
-            probs = self.select_action(state, obs)
-            action = jax.random.categorical(k_c, jnp.log(probs + 1e-8))
+            out = self.select_action(state, obs)
+            # softmax actor emits probs; gumbel actor emits logits —
+            # categorical-over-logits IS the gumbel-max sample (:152)
+            logits = out if cfg.discrete_gumbel else jnp.log(out + 1e-8)
+            action = jax.random.categorical(k_c, logits)
             if ctx.random_steps > 0:
                 rand = jax.random.randint(k_r, (b,), 0, adim)
                 action = jnp.where(
@@ -253,6 +285,27 @@ class DDPG(OffPolicyAlgo):
             )
         return state, action
 
+    def stored_action_example(self):
+        """Discrete DDPG stores a VECTOR action (behavior probs for the
+        softmax variant :412 'action = probs'; the hard gumbel one-hot
+        for the gumbel variant), not the env index."""
+        return jnp.zeros((self.dim_info.action_dim,), jnp.float32)
+
+    def explore_stored(self, state: DDPGState, obs, key, ctx: ExploreCtx):
+        """(state, env_action, stored_action) — consumed by the off-policy
+        driver when present. Continuous: stored == env action. Discrete:
+        env acts on a sampled index, the buffer keeps the probs / one-hot
+        the critic trains on (reference DDPG_simple_add_discrete.py:412,
+        DDPG_simple_add_discrete_gumbel(lose).py:152)."""
+        state, action = self.explore(state, obs, key, ctx)
+        if self.dim_info.is_continue:
+            return state, action, action
+        if self.cfg.discrete_gumbel:
+            stored = jax.nn.one_hot(action, self.dim_info.action_dim)
+        else:
+            stored = self.select_action(state, obs)      # behavior probs
+        return state, action, stored
+
     # ------------------------------------------------------------------
     def process_obs(self, state: DDPGState, next_obs, carry_obs):
         if not self.cfg.obs_norm:
@@ -274,18 +327,31 @@ class DDPG(OffPolicyAlgo):
         cfg = self.cfg
         reward = batch.reward.reshape(-1)
         done = batch.done.reshape(-1).astype(jnp.float32)
-        if self.dim_info.is_continue:
-            action = batch.action.reshape(-1, self.dim_info.action_dim)
-        else:
+        adim = self.dim_info.action_dim
+        if (not self.dim_info.is_continue
+                and (batch.action.ndim < 2 or batch.action.shape[-1] != adim)):
+            # index-stored batches (direct update() calls in tests); the
+            # driver path stores vector actions via explore_stored
             action = jax.nn.one_hot(
-                batch.action.reshape(-1).astype(jnp.int32),
-                self.dim_info.action_dim,
+                batch.action.reshape(-1).astype(jnp.int32), adim
             )
+        else:
+            action = batch.action.reshape(-1, adim)
+
+        gumbel = (not self.dim_info.is_continue) and cfg.discrete_gumbel
+        if gumbel:
+            k_new = key if key is not None else jax.random.PRNGKey(0)
 
         # --- critic ----------------------------------------------------
         next_action = self.actor.apply(
             {"params": state.actor_target}, batch.next_obs
         )
+        if gumbel:
+            # target logits -> DETERMINISTIC one-hot (the reference's
+            # onehot_from_logits(eps=0), :190 — not a gumbel sample)
+            next_action = jax.nn.one_hot(
+                jnp.argmax(next_action, axis=-1), self.dim_info.action_dim
+            )
         next_q = self.critic.apply(
             {"params": state.critic_target}, batch.next_obs, next_action
         )
@@ -335,6 +401,9 @@ class DDPG(OffPolicyAlgo):
         # --- actor -----------------------------------------------------
         def actor_loss_fn(params):
             a = self.actor.apply({"params": params}, batch.obs)
+            if gumbel:
+                # straight-through hard sample, temperature 1 (:206)
+                a = gumbel_softmax(k_new, a, 1.0, hard=True)
             q = self.critic.apply({"params": critic_params}, batch.obs, a)
             return -jnp.mean(q)
 

@@ -357,6 +357,10 @@ class MAPPO:
         return stack(env_as), stack(stored), jnp.stack(logps, axis=-1)
 
     def evaluate_action(self, state: MAPPOState, obs):
+        # offline eval feeds RAW observations (eval.py); with ObsNorm the
+        # actors were trained on normalized ones
+        if self.cfg.obs_norm:
+            obs = state.obs_rms.normalize(obs)
         outs = []
         for i in range(self.n_agents):
             out = self.actors[i].apply(

@@ -314,6 +314,11 @@ class PPO:
         return env_a, a, logp
 
     def evaluate_action(self, state: PPOState, obs):
+        # offline eval feeds RAW observations; with the ObsNorm trick the
+        # policy was trained on normalized ones, so apply the saved
+        # running stats (reference PPO_with_tricks evaluate path)
+        if self.cfg.obs_norm:
+            obs = state.obs_rms.normalize(obs)
         if not self.dim_info.is_continue:
             logits = self.actor.apply({"params": state.actor_params}, obs)
             return jnp.argmax(logits, axis=-1)

@@ -242,6 +242,10 @@ class RMAPPO:
     def evaluate_action(self, state: RMAPPOState, obs, carry: HiddenCarry,
                         done_prev):
         """Deterministic act: (actions, new_carry)."""
+        # offline eval feeds RAW observations; with ObsNorm the actors
+        # were trained on normalized ones (saved running stats)
+        if self.cfg.obs_norm:
+            obs = state.obs_rms.normalize(obs)
         outs, h_as = [], []
         for i in range(self.n_agents):
             obs_i = self._agent_obs(obs, i)

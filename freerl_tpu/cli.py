@@ -46,6 +46,7 @@ _MAPPO_TRICKS = {
 _DDPG_SUPPLEMENTS = {
     "weight_decay": "weight_decay", "OUNoise": "ou_noise",
     "ObsNorm": "obs_norm", "net_init": "net_init", "PopArt": "popart",
+    "gumbel": "discrete_gumbel",
 }
 
 OFFPOLICY = {"DQN", "DDPG", "TD3", "SAC", "ENVELOPE"}

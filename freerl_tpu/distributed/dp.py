@@ -61,13 +61,14 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     return Mesh(mesh_utils.create_device_mesh((n,), devs[:n]), (axis,))
 
 
-def _example_transition(env: Env) -> Transition:
+def _example_transition(env: Env, algo=None) -> Transition:
     di = env.dim_info
-    action = (
-        jnp.zeros((di.action_dim,), jnp.float32)
-        if di.is_continue
-        else jnp.zeros((), jnp.int32)
-    )
+    if di.is_continue:
+        action = jnp.zeros((di.action_dim,), jnp.float32)
+    elif algo is not None and hasattr(algo, "stored_action_example"):
+        action = algo.stored_action_example()
+    else:
+        action = jnp.zeros((), jnp.int32)
     rdim = getattr(env, "reward_dim", 1)
     reward = jnp.zeros((rdim,) if rdim > 1 else (), jnp.float32)
     return Transition(
@@ -143,7 +144,7 @@ def train_offpolicy_sharded(env: Env, algo, cfg, mesh: Mesh,
         me = jax.lax.axis_index(axis)
         k = jax.random.fold_in(k, me)
         env_state, obs = vec_reset(env, k, envs_per_dev)
-        buffer = algo.make_buffer(_example_transition(env))
+        buffer = algo.make_buffer(_example_transition(env, algo))
         buffer = jax.tree.map(lambda x: x[None], buffer)
         return env_state, obs, buffer
 
@@ -182,15 +183,21 @@ def train_offpolicy_sharded(env: Env, algo, cfg, mesh: Mesh,
             done_prev=c["done_prev"],
             random_steps=cfg.random_steps,
         )
-        algo_state, action = algo.explore(c["algo_state"], c["obs"], k_act,
-                                          ctx)
+        if hasattr(algo, "explore_stored"):
+            algo_state, action, stored = algo.explore_stored(
+                c["algo_state"], c["obs"], k_act, ctx
+            )
+        else:
+            algo_state, action = algo.explore(c["algo_state"], c["obs"],
+                                              k_act, ctx)
+            stored = action
         out = vec_step_auto_reset(env, c["env_state"], action, k_step,
                                   envs_per_dev)
         algo_state, next_obs, carry_obs = algo.process_obs(
             algo_state, out.next_obs, out.carry_obs
         )
         trans = Transition(
-            obs=c["obs"], action=action, reward=out.reward,
+            obs=c["obs"], action=stored, reward=out.reward,
             next_obs=next_obs, done=out.terminated,
             episode_done=out.episode_done,
         )

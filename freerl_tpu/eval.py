@@ -9,25 +9,53 @@ deterministic policy, and writes the reference's artifact set
   - ``evaluate.gif``  — one replayed episode, drawn from the state trace
   - console mean/std over the held-out seeds (per-agent for MARL)
 
+Training runs dump ``config.json`` (freerl_tpu/cli.py), so the only
+required flag is the run directory — env, algorithm and every
+construction-affecting trick are reconstructed from it (the reference
+re-types them; its GAIL family pioneered the config dump,
+GAIL_file/PPO2.py:338). Explicit flags still override.
+
 Example:
   python -m freerl_tpu.cli  --algo DQN --env_name CartPole-v1 --seed 0
-  python -m freerl_tpu.eval --algo DQN --env_name CartPole-v1 \
-      --model_dir results/CartPole-v1/DQN_1
+  python -m freerl_tpu.eval --model_dir results/CartPole-v1/DQN_1
 """
 from __future__ import annotations
 
 import argparse
+import json
 import os
+from types import SimpleNamespace
 
 import numpy as np
+
+# fallbacks for pre-config.json run dirs (mirrors the training CLI)
+_BUILD_DEFAULTS = dict(
+    algo="DQN", env_name="CartPole-v1", trick=[], dis_to_con=False,
+    discrete_actions=False, num_envs=8, horizon=2048,
+    buffer_size=200_000, batch_size=64, max_episodes=500,
+    lr=1e-3, gauss_sigma=0.1, noise_init_scale=None,
+)
+
+
+def _build_args(args) -> SimpleNamespace:
+    """config.json < explicit CLI flags, over the CLI defaults."""
+    merged = dict(_BUILD_DEFAULTS)
+    cfg_path = os.path.join(args.model_dir, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            saved = json.load(f)
+        merged.update({k: v for k, v in saved.items() if k in merged})
+    for k in _BUILD_DEFAULTS:
+        v = getattr(args, k, None)
+        if v is not None:
+            merged[k] = v
+    return SimpleNamespace(**merged)
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--algo", default="DQN")
-    p.add_argument("--env_name", default="CartPole-v1")
     p.add_argument("--model_dir", required=True,
-                   help="run dir containing 'checkpoint'")
+                   help="run dir containing 'checkpoint' (+ config.json)")
     p.add_argument("--n_episodes", type=int, default=100)
     p.add_argument("--seed0", type=int, default=0,
                    help="first held-out seed (training used --seed)")
@@ -35,20 +63,23 @@ def main(argv=None):
     p.add_argument("--no_gif", dest="gif", action="store_false")
     p.add_argument("--gif_seed", type=int, default=None,
                    help="episode seed for the gif (default: random)")
-    # flags that change network/env construction must match training
-    p.add_argument("--trick", nargs="*", default=[])
-    p.add_argument("--dis_to_con", action="store_true")
-    p.add_argument("--discrete_actions", action="store_true")
-    p.add_argument("--num_envs", type=int, default=8)
-    p.add_argument("--horizon", type=int, default=2048)
-    p.add_argument("--buffer_size", type=int, default=200_000)
-    p.add_argument("--batch_size", type=int, default=64)
-    p.add_argument("--max_episodes", type=int, default=500,
+    # construction flags: normally read from the run's config.json;
+    # passing any of them explicitly overrides the saved value
+    p.add_argument("--algo", default=None)
+    p.add_argument("--env_name", default=None)
+    p.add_argument("--trick", nargs="*", default=None)
+    p.add_argument("--dis_to_con", action="store_true", default=None)
+    p.add_argument("--discrete_actions", action="store_true", default=None)
+    p.add_argument("--num_envs", type=int, default=None)
+    p.add_argument("--horizon", type=int, default=None)
+    p.add_argument("--buffer_size", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--max_episodes", type=int, default=None,
                    help="must match training (ENVELOPE schedules on it)")
     p.add_argument("--preference", type=float, nargs="*", default=None,
                    help="ENVELOPE only: evaluation preference weights "
                         "(default: uniform over reward_dim)")
-    args = p.parse_args(argv)
+    cli = p.parse_args(argv)
 
     import jax
 
@@ -56,6 +87,12 @@ def main(argv=None):
     from freerl_tpu.train.evaluate import evaluate, plot_evaluate
     from freerl_tpu.train.runio import load_checkpoint
 
+    args = _build_args(cli)
+    args.model_dir = cli.model_dir
+    args.n_episodes = cli.n_episodes
+    args.seed0 = cli.seed0
+    args.gif, args.gif_seed = cli.gif, cli.gif_seed
+    args.preference = cli.preference
     env, algo = build(args)
     example = algo.init(jax.random.PRNGKey(0))
     state = load_checkpoint(os.path.join(args.model_dir, "checkpoint"),

@@ -67,10 +67,14 @@ class LoopCarry:
     update_count: jnp.ndarray     # scalar int32
 
 
-def _example_transition(env: Env) -> Transition:
+def _example_transition(env: Env, algo=None) -> Transition:
     di = env.dim_info
     if di.is_continue:
         action = jnp.zeros((di.action_dim,), jnp.float32)
+    elif algo is not None and hasattr(algo, "stored_action_example"):
+        # algos that store something richer than the env index (e.g.
+        # discrete DDPG stores the behavior probs / gumbel one-hot)
+        action = algo.stored_action_example()
     else:
         action = jnp.zeros((), jnp.int32)
     # multi-objective envs carry vector rewards (reward_dim > 1)
@@ -113,7 +117,7 @@ def train_offpolicy(env: Env, algo, cfg: OffPolicyConfig,
     key = jax.random.PRNGKey(cfg.seed)
     k_algo, k_env, k_loop = jax.random.split(key, 3)
     algo_state = algo.init(k_algo)
-    buffer = algo.make_buffer(_example_transition(env))
+    buffer = algo.make_buffer(_example_transition(env, algo))
     env_state, obs = vec_reset(env, k_env, num_envs)
 
     carry = LoopCarry(
@@ -140,9 +144,17 @@ def train_offpolicy(env: Env, algo, cfg: OffPolicyConfig,
             done_prev=carry.done_prev,
             random_steps=cfg.random_steps,
         )
-        algo_state, action = algo.explore(
-            carry.algo_state, carry.obs, k_act, ctx
-        )
+        if hasattr(algo, "explore_stored"):
+            # (env_action, stored_action) split — e.g. discrete DDPG acts
+            # with a sampled index but stores the behavior probs vector
+            algo_state, action, stored = algo.explore_stored(
+                carry.algo_state, carry.obs, k_act, ctx
+            )
+        else:
+            algo_state, action = algo.explore(
+                carry.algo_state, carry.obs, k_act, ctx
+            )
+            stored = action
         out = vec_step_auto_reset(env, carry.env_state, action, k_step,
                                   num_envs)
         algo_state, next_obs, carry_obs = algo.process_obs(
@@ -150,7 +162,7 @@ def train_offpolicy(env: Env, algo, cfg: OffPolicyConfig,
         )
         trans = Transition(
             obs=carry.obs,
-            action=action,
+            action=stored,
             reward=out.reward,
             next_obs=next_obs,
             done=out.terminated,

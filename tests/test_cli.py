@@ -104,3 +104,21 @@ def test_eval_cli_envelope(tmp_path):
     ])
     assert rc == 0
     assert (run_dir / "evaluate.png").exists()
+
+
+def test_eval_cli_config_roundtrip(tmp_path):
+    """eval.py needs only --model_dir: env/algo/tricks come from the
+    config.json the training CLI dumps (VERDICT r2 weak #5)."""
+    out_dir = run([
+        "--algo", "DQN", "--env_name", "CartPole-v1",
+        "--trick", "Double", "--max_episodes", "15", "--num_envs", "4",
+        "--buffer_size", "2048", "--results_root", str(tmp_path),
+        "--no_tensorboard",
+    ])
+    assert os.path.exists(os.path.join(out_dir, "config.json"))
+
+    from freerl_tpu.eval import main as eval_main
+
+    rc = eval_main(["--model_dir", out_dir, "--n_episodes", "4", "--no_gif"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out_dir, "evaluate.png"))

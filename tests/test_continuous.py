@@ -49,14 +49,15 @@ def _ctx(b, steps=10**6):
                                     num_envs=8)),
         lambda: DDPG(DI, DDPGConfig(popart=True)),
         lambda: DDPG(DI_DISC, DDPGConfig()),
+        lambda: DDPG(DI_DISC, DDPGConfig(discrete_gumbel=True)),
         lambda: TD3(DI, TD3Config()),
         lambda: TD3(DI, TD3Config(clip_double=False, policy_noise=False,
                                   twin_delay=False)),
         lambda: SAC(DI, SACConfig()),
         lambda: SAC(DI_DISC, SACConfig()),
     ],
-    ids=["ddpg", "ddpg_full", "ddpg_popart", "ddpg_disc", "td3",
-         "td3_min", "sac", "sac_disc"],
+    ids=["ddpg", "ddpg_full", "ddpg_popart", "ddpg_disc",
+         "ddpg_disc_gumbel", "td3", "td3_min", "sac", "sac_disc"],
 )
 def test_update_steps_and_changes_params(make_algo):
     algo = make_algo()
@@ -156,3 +157,34 @@ def test_learns_pendulum(algo_fn):
     _, returns, info = train_offpolicy(env, algo, cfg)
     assert len(returns) >= 100
     assert returns[-20:].mean() > -500, returns[-20:].mean()
+
+
+def test_ddpg_discrete_variants_cartpole():
+    """Discrete DDPG, both reference variants end-to-end on CartPole.
+
+    The softmax-probability actor (DDPG_simple_add_discrete.py — the
+    variant the reference kept) must LEARN. The gumbel-softmax
+    straight-through actor (DDPG_simple_add_discrete_gumbel(lose).py)
+    runs the same pipeline but plateaus near the random return — the
+    reference abandoned it for exactly this reason, and our
+    reimplementation reproduces that negative result rather than
+    pretending otherwise."""
+    from freerl_tpu.envs import make
+    from freerl_tpu.train.loop import OffPolicyConfig, train_offpolicy
+
+    env = make("CartPole-v1")
+    cfg = OffPolicyConfig(num_envs=8, max_episodes=250, start_steps=500,
+                          updates_per_burst=4, chunk_size=128)
+
+    algo = DDPG(env.dim_info, DDPGConfig(
+        buffer_size=20_000, batch_size=64, num_envs=8))
+    _, returns, _ = train_offpolicy(env, algo, cfg)
+    assert returns[-30:].mean() > 40, returns[-30:].mean()
+
+    algo_g = DDPG(env.dim_info, DDPGConfig(
+        buffer_size=20_000, batch_size=64, discrete_gumbel=True,
+        num_envs=8))
+    _, returns_g, info = train_offpolicy(env, algo_g, cfg)
+    import numpy as np
+
+    assert np.isfinite(returns_g).all() and info["updates"] > 0

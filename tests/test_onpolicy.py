@@ -133,3 +133,25 @@ def test_reinforce_learns_cartpole():
     cfg = OnPolicyConfig(num_envs=1, max_episodes=400, horizon=1024)
     _, returns, info = train_onpolicy(env, algo, cfg)
     assert returns[-30:].mean() > 80, returns[-30:].mean()
+
+
+def test_evaluate_action_applies_obs_norm():
+    """Offline eval feeds raw obs; with ObsNorm evaluate_action must
+    apply the saved running stats (fixed in r3 — raw-obs eval used to
+    silently mismatch the trained policy)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    env = make("Pendulum-v1")
+    algo = PPO(env.dim_info, PPOConfig(obs_norm=True))
+    state = algo.init(jax.random.PRNGKey(0))
+    # push the running stats far from identity
+    big = jnp.full((128, env.dim_info.obs_dim), 100.0)
+    state = state.replace(obs_rms=state.obs_rms.update(big))
+    raw = jnp.ones((4, env.dim_info.obs_dim)) * 100.0
+
+    a_norm = algo.evaluate_action(state, raw)
+    plain = PPO(env.dim_info, PPOConfig(obs_norm=False))
+    a_raw = plain.evaluate_action(state, state.obs_rms.normalize(raw))
+    assert jnp.allclose(a_norm, a_raw, atol=1e-5)
