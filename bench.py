@@ -30,50 +30,60 @@ MEASURE_CHUNKS = int(os.environ.get("BENCH_CHUNKS", 8))
 BASELINE_STEPS_PER_S = 1_000_000.0
 
 
-def bench_ppo(num_envs=4096, iters=4):
+def _bench_onpolicy(env, algo, num_envs, steps_per_iter, warm_iters=2,
+                    measure_iters=6):
+    """Steady-state env-steps/s of the on-policy driver, measured INSIDE
+    one train_onpolicy call: the driver blocks on device results every
+    iteration, so on_iter timestamps bracket exactly the warm
+    iterations (the first iteration carries the XLA compile)."""
+    from freerl_tpu.train.onpolicy import OnPolicyConfig, train_onpolicy
+
+    marks = {}
+
+    def on_iter(it, n_eps, n_steps, carry, metrics):
+        if it == warm_iters:
+            marks["t0"], marks["s0"] = time.time(), n_steps
+
+    cfg = OnPolicyConfig(
+        num_envs=num_envs, horizon=num_envs * steps_per_iter,
+        max_episodes=100_000,
+        max_env_steps=num_envs * steps_per_iter
+        * (warm_iters + measure_iters),
+        log_every_iters=1,
+    )
+    _, _, info = train_onpolicy(env, algo, cfg, on_iter=on_iter)
+    elapsed = time.time() - marks["t0"]
+    return (info["env_steps"] - marks["s0"]) / elapsed
+
+
+def bench_ppo(num_envs=4096, steps_per_iter=64):
     """On-policy hot path: T-step rollout scan + full K-epoch minibatch
     update per iteration, on pure-JAX Pendulum physics."""
     from freerl_tpu.algos.ppo import PPO, PPOConfig
     from freerl_tpu.envs import make
-    from freerl_tpu.train.onpolicy import OnPolicyConfig, train_onpolicy
 
     env = make("Pendulum-v1")
-    horizon = num_envs * 64
+    horizon = num_envs * steps_per_iter
     algo = PPO(env.dim_info, PPOConfig(
         num_envs=num_envs, horizon=horizon,
         minibatch_size=min(8192, horizon), K_epochs=10, adv_norm=True,
     ))
-    cfg = OnPolicyConfig(num_envs=num_envs, horizon=horizon,
-                         max_episodes=100_000,
-                         max_env_steps=num_envs * 64 * iters)
-    _, _, info = train_onpolicy(env, algo, cfg)     # includes compile
-    t0 = time.time()
-    _, _, info = train_onpolicy(env, algo, cfg)     # warm second pass
-    elapsed = time.time() - t0
-    return info["env_steps"] / elapsed
+    return _bench_onpolicy(env, algo, num_envs, steps_per_iter)
 
 
-def bench_mappo(num_envs=1024, iters=4):
+def bench_mappo(num_envs=1024, steps_per_iter=32):
     """MARL on-policy hot path: 3-agent simple_spread physics, per-agent
     actors + centralized critics, full MAPPO update."""
     from freerl_tpu.algos.mappo import MAPPO, MAPPOConfig
     from freerl_tpu.envs import make
-    from freerl_tpu.train.onpolicy import OnPolicyConfig, train_onpolicy
 
     env = make("simple_spread_v3")
-    horizon = num_envs * 32
+    horizon = num_envs * steps_per_iter
     algo = MAPPO(env, MAPPOConfig(
         num_envs=num_envs, horizon=horizon, K_epochs=5,
         minibatch_size=min(8192, horizon),
     ))
-    cfg = OnPolicyConfig(num_envs=num_envs, horizon=horizon,
-                         max_episodes=100_000,
-                         max_env_steps=num_envs * 32 * iters)
-    _, _, info = train_onpolicy(env, algo, cfg)     # includes compile
-    t0 = time.time()
-    _, _, info = train_onpolicy(env, algo, cfg)     # warm second pass
-    elapsed = time.time() - t0
-    return info["env_steps"] / elapsed
+    return _bench_onpolicy(env, algo, num_envs, steps_per_iter)
 
 
 def main():

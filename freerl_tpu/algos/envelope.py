@@ -62,6 +62,10 @@ class EnvelopeConfig:
     buffer_size: int = 100_000
     hidden: Sequence[int] = (256, 256)
     epsilon: float = 0.1
+    # reference protocol: epsilon 0.4 decaying linearly to 0.05 over
+    # max_episodes (ENVELOPE_DQN.py:408-409,431-432,523-525)
+    epsilon_decay: bool = False
+    epsilon_final: float = 0.05
     weight_num: int = 4
     beta_init: float = 0.01
     beta_uplim: float = 1.0
@@ -159,7 +163,15 @@ class Envelope(OffPolicyAlgo):
         b = obs.shape[0]
         greedy = self.select_action(state, obs, k_q)
         rand = jax.random.randint(k_r, (b,), 0, self.dim_info.action_dim)
-        use_rand = jax.random.uniform(k_e, (b,)) < self.cfg.epsilon
+        eps = jnp.float32(self.cfg.epsilon)
+        if self.cfg.epsilon_decay:
+            frac = ctx.episodes.astype(jnp.float32) / self.cfg.max_episodes
+            eps = jnp.maximum(
+                self.cfg.epsilon
+                - (self.cfg.epsilon - self.cfg.epsilon_final) * frac,
+                self.cfg.epsilon_final,
+            )
+        use_rand = jax.random.uniform(k_e, (b,)) < eps
         action = jnp.where(use_rand, rand, greedy)
         if ctx.random_steps > 0:
             action = jnp.where(

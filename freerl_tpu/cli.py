@@ -120,7 +120,10 @@ def build(args):
         rdim = getattr(env, "reward_dim", 2)
         return env, algos.Envelope(env.dim_info, rdim, algos.EnvelopeConfig(
             buffer_size=args.buffer_size, batch_size=args.batch_size,
-            max_episodes=args.max_episodes))
+            max_episodes=args.max_episodes,
+            # reference protocol knobs (ENVELOPE_DQN.py:408-411); the
+            # library defaults stay small for CPU-test economy
+            weight_num=128, epsilon=0.4, epsilon_decay=True))
     if a == "PPO":
         cfg = _apply_tricks(
             algos.PPOConfig(num_envs=n_envs, horizon=args.horizon),

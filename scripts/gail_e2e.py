@@ -92,10 +92,17 @@ def main() -> int:
     )
 
     # ---- 3. GAIL from scratch -----------------------------------------
+    # learner hyperparams from the reference's GOOD run config
+    # (logs/Pendulum-v1/GAIL/20260328-223446/config.json): p_lr 1e-4,
+    # d_lr 4e-4 BCE, one D step per iteration — the slow policy keeps
+    # the discriminator reward signal stable. (Our PPO mirrors the
+    # reference PPO_file's MERGED actor+critic optimizer, so the single
+    # lr follows p_lr.)
     gail = GAIL(env.dim_info,
                 PPOConfig(horizon=2048, minibatch_size=64, num_envs=8,
+                          actor_lr=1e-4,
                           adv_norm=True, orthogonal_init=True, tanh=False),
-                GAILConfig(d_steps_per_iter=2))
+                GAILConfig(d_steps_per_iter=1))
     state, curve, history = train_gail(
         env, gail, data, num_iterations=args.gail_iters, num_envs=8,
         seed=args.seed + 1,

@@ -25,7 +25,7 @@ RUNS = {
     # algo: (env, episodes, extra argv)
     "MATD3": ("simple_spread_v3", 600, []),
     "HAPPO": ("simple_spread_v3", 600, []),
-    "MAT": ("simple_spread_v3", 600, []),
+    "MAT": ("simple_spread_v3", 1500, []),
     "IPPO": ("simple_adversary_v3", 600, []),
     "MAAC": ("simple_spread_v3", 2000, []),
 }

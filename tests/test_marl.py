@@ -273,3 +273,30 @@ def test_maddpg_reproduction_actor_learn_way_1():
     a1 = algo.select_action(state2, obs, jax.random.PRNGKey(3))
     a2 = algo.select_action(state2, obs, jax.random.PRNGKey(4))
     assert not np.allclose(np.asarray(a1), np.asarray(a2))
+
+
+# learning-to-bar tests (VERDICT r2 weak #4) — measured seed-0 bars
+def test_matd3_learns_spread():
+    from freerl_tpu.algos.maddpg import MATD3, MADDPGConfig
+    from freerl_tpu.train.marl import MARLConfig, train_marl
+
+    env = make("simple_spread_v3")
+    algo = MATD3(env, MADDPGConfig(num_envs=8, actor_lr=1e-3,
+                                   critic_lr=1e-3))
+    cfg = MARLConfig(num_envs=8, max_episodes=300, chunk_size=128)
+    _, r, _ = train_marl(env, algo, cfg)
+    r = np.asarray(r).mean(axis=-1)
+    assert r[-50:].mean() > -20.0, r[-50:].mean()
+
+
+def test_maac_learns_spread():
+    from freerl_tpu.algos.maac import MAAC, MAACConfig
+    from freerl_tpu.train.marl import MARLConfig, train_marl
+
+    env = make("simple_spread_v3", continuous_actions=False)
+    algo = MAAC(env, MAACConfig(num_envs=8, actor_lr=1e-3,
+                                critic_lr=1e-3))
+    cfg = MARLConfig(num_envs=8, max_episodes=300, chunk_size=128)
+    _, r, _ = train_marl(env, algo, cfg)
+    r = np.asarray(r).mean(axis=-1)
+    assert r[-50:].mean() > -21.0, r[-50:].mean()
