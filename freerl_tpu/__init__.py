@@ -20,4 +20,15 @@ Architecture (TPU-first, not a translation):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("FREERL_PLATFORM"):
+    # Select the JAX backend before anything in the package touches a
+    # device. ``jax.config.update`` is used (not the JAX_PLATFORMS env
+    # var) because it takes effect even when a site-installed PJRT
+    # plugin has already pinned the env var for its own registration.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["FREERL_PLATFORM"])
+
 from freerl_tpu import envs, buffers, nets, algos, train  # noqa: F401

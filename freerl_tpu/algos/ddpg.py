@@ -310,7 +310,8 @@ class DDPG(OffPolicyAlgo):
     def process_obs(self, state: DDPGState, next_obs, carry_obs):
         if not self.cfg.obs_norm:
             return state, next_obs, carry_obs
-        rms = state.obs_rms.update(next_obs)
+        # axis_name: global-batch moments under the dp sharded driver
+        rms = state.obs_rms.update(next_obs, axis_name=self.cfg.axis_name)
         return (
             state.replace(obs_rms=rms),
             rms.normalize(next_obs),

@@ -103,9 +103,12 @@ class QNetwork(nn.Module):
         call = (lambda m, v: m(v, deterministic)) if self.noisy else (
             lambda m, v: m(v)
         )
+        # hidden trunk stays ORDINARY even with the Noisy trick: the
+        # reference replaces only the heads with NoisyLinear
+        # (DQN_with_tricks.py:49-51 'l1' plain / 'l2' noisy, :68-70 V/A
+        # heads, :91-95 atom head)
         for h in self.hidden:
-            x = call(self._dense(h), x)
-            x = nn.relu(x)
+            x = nn.relu(Dense(h)(x))
         per_action = self.n_atoms if self.categorical else 1
         a_out = call(self._dense(self.action_dim * per_action), x)
         if self.categorical:
@@ -189,10 +192,26 @@ class DQN(OffPolicyAlgo):
     # ------------------------------------------------------------------
     def select_action(self, state: DQNState, obs, key=None):
         """Greedy (batched) action; exploration noise (epsilon / noisy-net
-        sampling) is composed by the train loop."""
-        q = self._q_values(
-            state.params, obs, key, deterministic=not self.cfg.noisy
-        )
+        sampling) is composed by the train loop.
+
+        Noisy nets draw INDEPENDENT noise per env row: the reference's
+        single env resamples noise every step (Noisy_net.py:41), so each
+        of its 500 episodes is an independent noisy trajectory. Sharing
+        one draw across the vector batch collapses that diversity ~B-fold
+        (measured: MountainCar never solved at 8 envs with shared noise);
+        per-env noise restores one independent explorer per env.
+        """
+        if self.cfg.noisy and key is not None:
+            keys = jax.random.split(key, obs.shape[0])
+            q = jax.vmap(
+                lambda o, k: self._q_values(
+                    state.params, o[None], k, deterministic=False
+                )[0]
+            )(obs, keys)
+        else:
+            q = self._q_values(
+                state.params, obs, key, deterministic=not self.cfg.noisy
+            )
         return jnp.argmax(q, axis=-1)
 
     def evaluate_action(self, state: DQNState, obs):

@@ -373,10 +373,13 @@ class MAPPO:
         return jnp.stack(outs, axis=-2 if self.is_continue else -1)
 
     # trick hooks -------------------------------------------------------
+    # axis_name keeps the running stats replicated under the
+    # data-parallel shard_map driver (global-batch pmean moments) — see
+    # core/normalization.py RunningMeanStd.update.
     def process_obs(self, state: MAPPOState, next_obs, carry_obs):
         if not self.cfg.obs_norm:
             return state, next_obs, carry_obs
-        rms = state.obs_rms.update(next_obs)
+        rms = state.obs_rms.update(next_obs, axis_name=self.cfg.axis_name)
         return (
             state.replace(obs_rms=rms),
             rms.normalize(next_obs),
@@ -389,10 +392,12 @@ class MAPPO:
             ep = jnp.broadcast_to(
                 episode_done[:, None], reward.shape
             ).reshape(-1)
-            rs, scaled = state.rew_scale(flat, ep)
+            rs, scaled = state.rew_scale(flat, ep,
+                                         axis_name=self.cfg.axis_name)
             return state.replace(rew_scale=rs), scaled.reshape(reward.shape)
         if self.cfg.reward_norm:
-            rms = state.rew_rms.update(reward)
+            rms = state.rew_rms.update(reward,
+                                       axis_name=self.cfg.axis_name)
             return state.replace(rew_rms=rms), rms.normalize(reward)
         return state, reward
 
@@ -450,7 +455,15 @@ class MAPPO:
         )
         v_target = adv + vs
         if cfg.adv_norm:
-            adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
+            if cfg.axis_name is not None:
+                m = jax.lax.pmean(jnp.mean(adv), cfg.axis_name)
+                sq = jax.lax.pmean(
+                    jnp.mean(jnp.square(adv)), cfg.axis_name
+                )
+                std = jnp.sqrt(jnp.maximum(sq - jnp.square(m), 0.0))
+                adv = (adv - m) / (std + 1e-8)
+            else:
+                adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
 
         obs_f = rollout.obs.reshape((B, A, -1))
         act_f = (

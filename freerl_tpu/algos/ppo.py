@@ -336,10 +336,14 @@ class PPO:
         return self.critic.apply({"params": state.critic_params}, obs)
 
     # -- trick hooks used by the on-policy loop -------------------------
+    # Under the data-parallel driver (distributed/dp.py) these run inside
+    # shard_map; passing cfg.axis_name keeps the running stats replicated
+    # (global-batch moments via pmean) so the normalization tricks stay
+    # exact under sharding.
     def process_obs(self, state: PPOState, next_obs, carry_obs):
         if not self.cfg.obs_norm:
             return state, next_obs, carry_obs
-        rms = state.obs_rms.update(next_obs)
+        rms = state.obs_rms.update(next_obs, axis_name=self.cfg.axis_name)
         return (
             state.replace(obs_rms=rms),
             rms.normalize(next_obs),
@@ -348,10 +352,12 @@ class PPO:
 
     def process_reward(self, state: PPOState, reward, episode_done):
         if self.cfg.reward_scaling:
-            rs, scaled = state.rew_scale(reward, episode_done)
+            rs, scaled = state.rew_scale(reward, episode_done,
+                                         axis_name=self.cfg.axis_name)
             return state.replace(rew_scale=rs), scaled
         if self.cfg.reward_norm:
-            rms = state.rew_rms.update(reward)
+            rms = state.rew_rms.update(reward,
+                                       axis_name=self.cfg.axis_name)
             return state.replace(rew_rms=rms), rms.normalize(reward)
         return state, reward
 
@@ -374,7 +380,16 @@ class PPO:
             cfg.gamma, cfg.lmbda,
         )
         if cfg.adv_norm:
-            adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-5)
+            if cfg.axis_name is not None:
+                # global-batch advantage moments across the dp shards
+                m = jax.lax.pmean(jnp.mean(adv), cfg.axis_name)
+                sq = jax.lax.pmean(
+                    jnp.mean(jnp.square(adv)), cfg.axis_name
+                )
+                std = jnp.sqrt(jnp.maximum(sq - jnp.square(m), 0.0))
+                adv = (adv - m) / (std + 1e-5)
+            else:
+                adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-5)
         flat = lambda x: x.reshape((B,) + x.shape[2:])
         obs_f = flat(rollout.obs)
         act_f = flat(rollout.action)

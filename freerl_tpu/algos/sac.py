@@ -17,6 +17,7 @@ Parity surface (SAC_file/SAC.py, SAC_add_discrete.py):
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Sequence
 
 import jax
@@ -139,7 +140,7 @@ class SAC(OffPolicyAlgo):
         else:
             self.actor = SoftmaxPolicy(dim_info.action_dim, tuple(cfg.hidden))
             self.critic = TwinQTable(dim_info.action_dim, tuple(cfg.hidden))
-            self.target_entropy = 0.6 * float(jnp.log(dim_info.action_dim))
+            self.target_entropy = 0.6 * math.log(dim_info.action_dim)
         self.actor_tx = optax.adam(cfg.actor_lr, eps=1e-8)
         self.critic_tx = optax.adam(cfg.critic_lr, eps=1e-8)
         self.alpha_tx = optax.adam(cfg.alpha_lr, eps=1e-8)

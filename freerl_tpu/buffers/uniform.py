@@ -54,13 +54,30 @@ class ReplayBuffer:
 
     # ------------------------------------------------------------------
     def add(self, batch: Transition) -> "ReplayBuffer":
-        """Scatter a batch of B transitions at the ring position."""
+        """Write a batch of B transitions at the ring position.
+
+        When ``capacity % B == 0`` (the common case: power-of-two sized
+        rings, fixed env batch) the write position is always a multiple
+        of B, so the write is a contiguous ``dynamic_update_slice`` —
+        XLA updates the ring in place. The general path is a modular
+        scatter, which XLA lowers with a full-ring copy (measured 463 us
+        per 4096-env step on v5e vs ~40 us for the env step itself —
+        scripts/profile_bench.py).
+        """
         b = jax.tree.leaves(batch)[0].shape[0]
-        idx = (self.pos + jnp.arange(b)) % self.capacity
-        data = jax.tree.map(
-            lambda buf, new: buf.at[idx].set(new.astype(buf.dtype)),
-            self.data, batch,
-        )
+        if self.capacity % b == 0:
+            data = jax.tree.map(
+                lambda buf, new: jax.lax.dynamic_update_slice_in_dim(
+                    buf, new.astype(buf.dtype), self.pos, axis=0
+                ),
+                self.data, batch,
+            )
+        else:
+            idx = (self.pos + jnp.arange(b)) % self.capacity
+            data = jax.tree.map(
+                lambda buf, new: buf.at[idx].set(new.astype(buf.dtype)),
+                self.data, batch,
+            )
         return self.replace(
             data=data,
             pos=(self.pos + b) % self.capacity,

@@ -34,12 +34,31 @@ class RunningMeanStd:
             count=jnp.asarray(1e-4, jnp.float32),
         )
 
-    def update(self, batch: jnp.ndarray) -> "RunningMeanStd":
-        """Fold a batch of samples (leading axes are batch axes) into stats."""
+    def update(self, batch: jnp.ndarray,
+               axis_name: str | None = None) -> "RunningMeanStd":
+        """Fold a batch of samples (leading axes are batch axes) into stats.
+
+        With ``axis_name`` (inside shard_map/pmap over a device mesh) the
+        batch moments are first all-reduced over that axis, so every
+        replica folds the GLOBAL batch: stats stay replicated and match
+        what a single device would compute from the concatenated batch —
+        the data-parallel drivers rely on this to keep the obs/reward
+        normalization tricks exact under sharding.
+        """
         x = batch.reshape((-1,) + self.mean.shape)
         b_count = jnp.asarray(x.shape[0], jnp.float32)
         b_mean = jnp.mean(x, axis=0)
         b_var = jnp.var(x, axis=0)
+        if axis_name is not None:
+            import jax
+
+            g_mean = jax.lax.pmean(b_mean, axis_name)
+            # law of total variance over equal-size shards
+            b_var = jax.lax.pmean(
+                b_var + jnp.square(b_mean - g_mean), axis_name
+            )
+            b_mean = g_mean
+            b_count = jax.lax.psum(b_count, axis_name)
         delta = b_mean - self.mean
         tot = self.count + b_count
         new_mean = self.mean + delta * (b_count / tot)
@@ -80,9 +99,10 @@ class RewardScaling:
             gamma=gamma,
         )
 
-    def __call__(self, reward: jnp.ndarray, episode_done: jnp.ndarray):
+    def __call__(self, reward: jnp.ndarray, episode_done: jnp.ndarray,
+                 axis_name: str | None = None):
         ret = self.gamma * self.ret + reward
-        stats = self.stats.update(ret)
+        stats = self.stats.update(ret, axis_name=axis_name)
         scaled = reward / jnp.sqrt(stats.var + 1e-8)
         ret = jnp.where(episode_done, 0.0, ret)
         return RewardScaling(stats=stats, ret=ret, gamma=self.gamma), scaled

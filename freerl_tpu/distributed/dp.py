@@ -61,6 +61,34 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     return Mesh(mesh_utils.create_device_mesh((n,), devs[:n]), (axis,))
 
 
+def _algo_state_specs(state, dev, rep):
+    """Per-leaf partition specs for a replicated algo state.
+
+    Almost every leaf (params, optimizer, normalizer stats) is replicated
+    — gradients and normalizer moments are pmean-synced. The exceptions
+    are PER-ENV state living inside the algo state, which must shard with
+    the env axis:
+      - ``RewardScaling.ret`` (PPO/MAPPO reward_scaling trick): the
+        per-env running discounted return;
+      - ``ou_state`` (DDPG OUNoise supplement): per-env correlated noise.
+    """
+    from jax.tree_util import tree_map_with_path
+
+    def pick(path, _leaf):
+        names = tuple(
+            n for n in (
+                getattr(p, "name", getattr(p, "key", None)) for p in path
+            ) if isinstance(n, str)
+        )
+        if names and names[-1] == "ret" and "rew_scale" in names:
+            return dev
+        if names and names[-1] == "ou_state":
+            return dev
+        return rep
+
+    return tree_map_with_path(pick, state)
+
+
 def _example_transition(env: Env, algo=None) -> Transition:
     di = env.dim_info
     if di.is_continue:
@@ -134,11 +162,16 @@ def train_offpolicy_sharded(env: Env, algo, cfg, mesh: Mesh,
         f"algo config must carry axis_name={axis!r} so learn_step pmean-"
         f"syncs gradients (got {aname!r})"
     )
-    record_cap = cfg.max_episodes + envs_per_dev + 1
+    # an episode costs >=1 env step, so the record never needs more
+    # slots than the step budget (guards huge max_episodes sentinels)
+    record_cap = min(cfg.max_episodes, cfg.max_env_steps) + envs_per_dev + 1
 
     key = jax.random.PRNGKey(cfg.seed)
     k_algo, k_env, k_loop = jax.random.split(key, 3)
     algo_state = algo.init(k_algo)
+    # params/opt/normalizer stats replicate; per-env leaves (e.g. DDPG's
+    # OU noise state) shard with the env axis
+    state_spec = _algo_state_specs(algo_state, P(axis), P())
 
     def _shard_init(k):
         me = jax.lax.axis_index(axis)
@@ -277,9 +310,10 @@ def train_offpolicy_sharded(env: Env, algo, cfg, mesh: Mesh,
     rep = P()
     dev = P(axis)
     spec = dict(
-        algo_state=rep, buffer=dev, env_state=dev, obs=dev, key=rep,
-        ep_return=dev, done_prev=dev, ep_counter=dev, episode_returns=dev,
-        episode_steps=dev, total_steps=rep, update_count=rep,
+        algo_state=state_spec, buffer=dev, env_state=dev, obs=dev,
+        key=rep, ep_return=dev, done_prev=dev, ep_counter=dev,
+        episode_returns=dev, episode_steps=dev, total_steps=rep,
+        update_count=rep,
     )
     as_dict = lambda c: {f: getattr(c, f) for f in spec}
     sharded_chunk = shard_map(
@@ -331,6 +365,222 @@ def train_offpolicy_sharded(env: Env, algo, cfg, mesh: Mesh,
         "elapsed_s": elapsed,
         "env_steps": n_steps,
         "updates": int(carry_d["update_count"]),
+        "env_steps_per_s": n_steps / max(elapsed, 1e-9),
+        "episodes": int(counts.sum()),
+        "n_devices": n_dev,
+    }
+    return carry_d["algo_state"], returns.astype(np.float32), info
+
+
+# ---------------------------------------------------------------------------
+# production driver: sharded on-policy (PPO / MAPPO family)
+# ---------------------------------------------------------------------------
+def train_onpolicy_sharded(env: Env, algo, cfg, mesh: Mesh,
+                           axis: str = "dp", on_iter=None):
+    """Data-parallel twin of train/onpolicy.py's ``train_onpolicy``.
+
+    Each device rolls its ``num_envs / n_devices`` env slice for the scan
+    horizon, then the full K-epoch minibatch update runs per shard with
+    pmean-reduced gradients (the algo's config must carry
+    ``axis_name=axis``): the effective minibatch is ``minibatch_size *
+    n_devices``, the canonical DP semantic. The normalization tricks stay
+    EXACT under sharding — obs/reward running stats and adv_norm compute
+    global-batch moments via pmean (see core/normalization.py), so the
+    normalizer state remains replicated.
+
+    Episode curves use the same per-device chronological record + merge
+    by completion step as :func:`train_offpolicy_sharded`, so artifacts
+    are format-compatible with the single-device driver's.
+
+    Recurrent policies (algos/rmappo.py) are not supported sharded.
+    """
+    n_dev = mesh.devices.size
+    num_envs = cfg.num_envs
+    assert num_envs % n_dev == 0, (num_envs, n_dev)
+    envs_per_dev = num_envs // n_dev
+    aname = getattr(algo.cfg, "axis_name", None)
+    assert aname == axis, (
+        f"algo config must carry axis_name={axis!r} so update pmean-syncs "
+        f"gradients and normalizer stats (got {aname!r})"
+    )
+    assert not hasattr(algo, "init_policy_carry"), (
+        "recurrent on-policy algos are not supported by the sharded driver"
+    )
+    from freerl_tpu.algos.ppo import Rollout
+
+    T = max(cfg.horizon // num_envs, 1)
+    # an episode costs >=1 env step, so the record never needs more
+    # slots than the step budget (guards huge max_episodes sentinels)
+    record_cap = min(cfg.max_episodes, cfg.max_env_steps) + envs_per_dev + 1
+    n_agents = getattr(env, "n_agents", 1)
+    remap01 = (
+        getattr(env, "action_space_01", False) and env.dim_info.is_continue
+    )
+
+    key = jax.random.PRNGKey(cfg.seed)
+    k_algo, k_env, k_loop = jax.random.split(key, 3)
+    algo_state = algo.init(k_algo)
+    # params/opt/normalizer stats replicate; per-env leaves (e.g. the
+    # reward_scaling running return) shard with the env axis
+    state_spec = _algo_state_specs(algo_state, P(axis), P())
+
+    def _shard_init(state, k):
+        me = jax.lax.axis_index(axis)
+        k = jax.random.fold_in(k, me)
+        env_state, obs = vec_reset(env, k, envs_per_dev)
+        state, _, obs = algo.process_obs(state, obs, obs)
+        return state, env_state, obs
+
+    with mesh:
+        algo_state, env_state, obs = jax.jit(shard_map(
+            _shard_init, mesh=mesh, in_specs=(state_spec, P()),
+            out_specs=(state_spec, P(axis), P(axis)), check_rep=False,
+        ))(algo_state, k_env)
+
+    rec_shape = (
+        (n_dev, record_cap, n_agents) if n_agents > 1
+        else (n_dev, record_cap)
+    )
+    carry = dict(
+        algo_state=algo_state,
+        env_state=env_state,
+        obs=obs,
+        key=k_loop,
+        ep_return=jnp.zeros(
+            (num_envs, n_agents) if n_agents > 1 else (num_envs,),
+            jnp.float32,
+        ),
+        ep_counter=jnp.zeros((n_dev,), jnp.int32),
+        episode_returns=jnp.zeros(rec_shape, jnp.float32),
+        episode_steps=jnp.full((n_dev, record_cap), jnp.int32(2**30)),
+        total_steps=jnp.int32(0),
+    )
+
+    def rollout_step(c, _):
+        k, k_base = jax.random.split(c["key"])
+        me = jax.lax.axis_index(axis)
+        kk = jax.random.fold_in(k_base, me)
+        k_act, k_step = jax.random.split(kk)
+        env_a, stored_a, logp = algo.sample_action(
+            c["algo_state"], c["obs"], k_act
+        )
+        if remap01:
+            env_a = (env_a + 1.0) / 2.0
+        out = vec_step_auto_reset(env, c["env_state"], env_a, k_step,
+                                  envs_per_dev)
+        algo_state, reward = algo.process_reward(
+            c["algo_state"], out.reward, out.episode_done
+        )
+        algo_state, next_obs, carry_obs = algo.process_obs(
+            algo_state, out.next_obs, out.carry_obs
+        )
+
+        # per-device chronological episode record on RAW rewards
+        ret = c["ep_return"] + out.reward
+        dones = out.episode_done
+        n_count = c["ep_counter"][0]
+        offs = jnp.cumsum(dones.astype(jnp.int32)) - 1
+        slot = jnp.where(dones, n_count + offs, record_cap)
+        episode_returns = c["episode_returns"][0].at[slot].set(
+            ret, mode="drop"
+        )
+        episode_steps = c["episode_steps"][0].at[slot].set(
+            c["total_steps"], mode="drop"
+        )
+        ep_counter = n_count + jnp.sum(dones.astype(jnp.int32))
+        dmask = dones[:, None] if n_agents > 1 else dones
+        ep_return = jnp.where(dmask, 0.0, ret)
+
+        step_data = Rollout(
+            obs=c["obs"], action=stored_a, log_pi=logp, reward=reward,
+            next_obs=next_obs, done=out.terminated,
+            adv_done=out.episode_done,
+        )
+        new_c = dict(
+            algo_state=algo_state, env_state=out.state, obs=carry_obs,
+            key=k, ep_return=ep_return, ep_counter=ep_counter[None],
+            episode_returns=episode_returns[None],
+            episode_steps=episode_steps[None],
+            total_steps=c["total_steps"] + 1,
+        )
+        return new_c, step_data
+
+    def _shard_iteration(c):
+        # shard-local view: records carry a leading (1,) device axis
+        c, rollout = jax.lax.scan(rollout_step, c, None, length=T)
+        k, k_upd = jax.random.split(c["key"])
+        episodes = jax.lax.psum(c["ep_counter"][0], axis)
+        algo_state, metrics = algo.update(
+            c["algo_state"], rollout, k_upd, episodes=episodes
+        )
+        c = dict(c, algo_state=algo_state, key=k)
+        return c, metrics
+
+    rep, dev = P(), P(axis)
+    spec = dict(
+        algo_state=state_spec, env_state=dev, obs=dev, key=rep,
+        ep_return=dev, ep_counter=dev, episode_returns=dev,
+        episode_steps=dev, total_steps=rep,
+    )
+    sharded_iter = shard_map(
+        _shard_iteration, mesh=mesh, in_specs=(spec,),
+        out_specs=(spec, rep), check_rep=False,
+    )
+
+    @partial(jax.jit, donate_argnums=0)
+    def run_iteration(cd):
+        return sharded_iter(cd)
+
+    carry_d = jax.tree.map(jnp.copy, carry)
+    t0 = time.time()
+    it = 0
+    log_every = getattr(cfg, "log_every_iters", 10)
+    with mesh:
+        while True:
+            carry_d, metrics = run_iteration(carry_d)
+            it += 1
+            n_eps = int(jnp.sum(carry_d["ep_counter"]))
+            n_steps = int(carry_d["total_steps"]) * num_envs
+            if on_iter is not None and it % log_every == 0:
+                import types
+
+                on_iter(it, n_eps, n_steps,
+                        types.SimpleNamespace(
+                            algo_state=carry_d["algo_state"]),
+                        metrics)
+            if (getattr(cfg, "checkpoint_dir", None)
+                    and getattr(cfg, "checkpoint_every", 0)
+                    and it % cfg.checkpoint_every == 0):
+                from freerl_tpu.train.runio import save_checkpoint
+
+                save_checkpoint(f"{cfg.checkpoint_dir}/ckpt",
+                                carry_d["algo_state"])
+            if n_eps >= cfg.max_episodes or n_steps >= cfg.max_env_steps:
+                break
+    elapsed = time.time() - t0
+
+    # merge per-device chronological records by completion vector-step
+    counts = np.asarray(carry_d["ep_counter"])
+    rets = np.asarray(carry_d["episode_returns"])
+    steps = np.asarray(carry_d["episode_steps"])
+    rows, vals = [], []
+    for d in range(n_dev):
+        n = int(counts[d])
+        rows.append(np.stack(
+            [steps[d, :n], np.full(n, d)], axis=1
+        ))
+        vals.append(rets[d, :n])
+    keys_m = np.concatenate(rows, axis=0) if rows else np.zeros((0, 2))
+    vals_m = (np.concatenate(vals, axis=0) if vals
+              else np.zeros((0,) + rets.shape[2:]))
+    order = np.lexsort((keys_m[:, 1], keys_m[:, 0]))
+    returns = vals_m[order][: cfg.max_episodes]
+
+    n_steps = int(carry_d["total_steps"]) * num_envs
+    info = {
+        "elapsed_s": elapsed,
+        "env_steps": n_steps,
+        "iterations": it,
         "env_steps_per_s": n_steps / max(elapsed, 1e-9),
         "episodes": int(counts.sum()),
         "n_devices": n_dev,

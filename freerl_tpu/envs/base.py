@@ -112,6 +112,38 @@ def vec_step_auto_reset(env: Env, state, action, key, num_envs: int) -> StepOut:
     )
 
 
+class FixedResetWrapper(Env):
+    """Pin every reset (initial and auto-reset) to one start state.
+
+    The reference resets its env with the SAME seed every episode during
+    single-agent training (``env.reset(seed=args.seed)``,
+    DQN_file/DQN.py:334 — documented as the determinism fixture, SURVEY
+    §4.1). That convention is load-bearing for Noisy-net exploration:
+    with a fixed start state the argmax-policy trajectory concentrates
+    Q-updates on one tube of states, so action-gaps self-amplify and the
+    policy stays consistent enough to resonate (measured: the reference
+    code run here solves MountainCar 3/3 seeds with fixed starts; with
+    random starts our otherwise-identical dynamics solved 0/18 — the Q
+    landscape flattens and the noisy policy degenerates to a random
+    walk).
+    """
+
+    def __init__(self, env: Env, seed: int = 0):
+        self.env = env
+        self._reset_key = jax.random.PRNGKey(seed)
+        self.dim_info = env.dim_info
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+    def reset(self, key):
+        del key
+        return self.env.reset(self._reset_key)
+
+    def step(self, state, action, key):
+        return self.env.step(state, action, key)
+
+
 class DisToConWrapper(Env):
     """Expose a continuous-action env through a discrete action set.
 

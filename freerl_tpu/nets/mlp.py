@@ -17,6 +17,7 @@ bfloat16 only pays off at larger widths, and parity wants f32 math).
 """
 from __future__ import annotations
 
+import math
 from typing import Callable, Sequence
 
 import jax
@@ -56,7 +57,7 @@ def final_uniform_init(scale: float = 3e-3):
     return init
 
 
-def orthogonal_init(gain: float = jnp.sqrt(2.0)):
+def orthogonal_init(gain: float = math.sqrt(2.0)):
     return nn.initializers.orthogonal(scale=gain)
 
 
@@ -70,7 +71,7 @@ class Dense(nn.Module):
 
     features: int
     scheme: str = "torch"
-    gain: float = float(jnp.sqrt(2.0))
+    gain: float = math.sqrt(2.0)
     final_scale: float = 3e-3
 
     @nn.compact

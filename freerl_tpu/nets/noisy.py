@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from freerl_tpu.nets.mlp import Dense
+
 
 def _f(x):
     return jnp.sign(x) * jnp.sqrt(jnp.abs(x))
@@ -34,10 +36,19 @@ class NoisyDense(nn.Module):
         def sigma_init_fn(key, shape, dtype=jnp.float32):
             return jnp.full(shape, self.sigma_init / jnp.sqrt(fan_in), dtype)
 
+        def bias_sigma_init_fn(key, shape, dtype=jnp.float32):
+            # reference divides the BIAS sigma by sqrt(out_dim), not
+            # fan_in (Noisy_net.py:62 "bias的sigma要除以out_dim"):
+            # on a wide->narrow output layer this keeps the bias noise
+            # large enough to dither the argmax — the exploration signal
+            return jnp.full(
+                shape, self.sigma_init / jnp.sqrt(self.features), dtype
+            )
+
         w_mu = self.param("w_mu", mu_init, (fan_in, self.features))
         w_sigma = self.param("w_sigma", sigma_init_fn, (fan_in, self.features))
         b_mu = self.param("b_mu", mu_init, (self.features,))
-        b_sigma = self.param("b_sigma", sigma_init_fn, (self.features,))
+        b_sigma = self.param("b_sigma", bias_sigma_init_fn, (self.features,))
 
         if deterministic:
             return x @ w_mu + b_mu
@@ -52,7 +63,12 @@ class NoisyDense(nn.Module):
 
 
 class NoisyMLP(nn.Module):
-    """MLP whose layers are all NoisyDense (Noisy-DQN trunk+head)."""
+    """Ordinary hidden layers + NoisyDense OUTPUT layer.
+
+    The reference replaces only the head with NoisyLinear
+    (DQN_with_tricks.py:49-51 — 'l1' stays nn.Linear, 'l2' is noisy;
+    the Noisy_net.py banner notes head-only is enough for exploration).
+    """
 
     out_dim: int
     hidden: Sequence[int] = (128,)
@@ -61,14 +77,15 @@ class NoisyMLP(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = False):
         for h in self.hidden:
-            x = NoisyDense(h, sigma_init=self.sigma_init)(x, deterministic)
-            x = nn.relu(x)
+            x = nn.relu(Dense(h, scheme="torch")(x))
         return NoisyDense(self.out_dim, sigma_init=self.sigma_init)(
             x, deterministic
         )
 
 
 class NoisyDuelingQNet(nn.Module):
+    """Ordinary trunk; noisy V and A heads (DQN_with_tricks.py:68-70)."""
+
     out_dim: int
     hidden: Sequence[int] = (128,)
     sigma_init: float = 0.05
@@ -76,8 +93,7 @@ class NoisyDuelingQNet(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = False):
         for h in self.hidden:
-            x = NoisyDense(h, sigma_init=self.sigma_init)(x, deterministic)
-            x = nn.relu(x)
+            x = nn.relu(Dense(h, scheme="torch")(x))
         v = NoisyDense(1, sigma_init=self.sigma_init)(x, deterministic)
         a = NoisyDense(self.out_dim, sigma_init=self.sigma_init)(
             x, deterministic
@@ -86,6 +102,8 @@ class NoisyDuelingQNet(nn.Module):
 
 
 class NoisyCategoricalQNet(nn.Module):
+    """Ordinary trunk; noisy atom-logit head (DQN_with_tricks.py:91-95)."""
+
     action_dim: int
     n_atoms: int = 51
     hidden: Sequence[int] = (128,)
@@ -94,8 +112,7 @@ class NoisyCategoricalQNet(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = False):
         for h in self.hidden:
-            x = NoisyDense(h, sigma_init=self.sigma_init)(x, deterministic)
-            x = nn.relu(x)
+            x = nn.relu(Dense(h, scheme="torch")(x))
         logits = NoisyDense(self.action_dim * self.n_atoms,
                             sigma_init=self.sigma_init)(x, deterministic)
         return logits.reshape(x.shape[:-1] + (self.action_dim, self.n_atoms))

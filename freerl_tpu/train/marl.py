@@ -77,7 +77,9 @@ def train_marl(env: Env, algo, cfg: MARLConfig,
     """Returns (algo_state, episode_returns (E, n_agents), info)."""
     num_envs = cfg.num_envs
     A = env.n_agents
-    record_cap = cfg.max_episodes + num_envs + 1
+    # an episode costs >=1 env step, so the record never needs more
+    # slots than the step budget (guards huge max_episodes sentinels)
+    record_cap = min(cfg.max_episodes, cfg.max_env_steps) + num_envs + 1
 
     key = jax.random.PRNGKey(cfg.seed)
     k_algo, k_env, k_loop = jax.random.split(key, 3)

@@ -56,13 +56,27 @@ class OnPolicyCarry:
 
 
 def train_onpolicy(env: Env, algo, cfg: OnPolicyConfig,
-                   on_iter: Optional[Callable] = None):
+                   on_iter: Optional[Callable] = None, mesh=None):
     """``algo`` must expose sample_action / process_obs / process_reward /
     update (see freerl_tpu/algos/ppo.py). Returns
-    (algo_state, episode_returns, info)."""
+    (algo_state, episode_returns, info).
+
+    With ``mesh`` (a jax.sharding.Mesh), the rollout+update iteration runs
+    data-parallel over its devices via distributed/dp.py: per-device env
+    slices, pmean-synchronized gradients AND normalizer statistics (the
+    algo's config must carry ``axis_name`` matching the mesh axis).
+    """
+    if mesh is not None:
+        from freerl_tpu.distributed.dp import train_onpolicy_sharded
+
+        return train_onpolicy_sharded(env, algo, cfg, mesh,
+                                      axis=mesh.axis_names[0],
+                                      on_iter=on_iter)
     num_envs = cfg.num_envs
     T = max(cfg.horizon // num_envs, 1)
-    record_cap = cfg.max_episodes + num_envs + 1
+    # an episode costs >=1 env step, so the record never needs more
+    # slots than the step budget (guards huge max_episodes sentinels)
+    record_cap = min(cfg.max_episodes, cfg.max_env_steps) + num_envs + 1
     n_agents = getattr(env, "n_agents", 1)
     rew_shape = (num_envs, n_agents) if n_agents > 1 else (num_envs,)
     rec_shape = (record_cap, n_agents) if n_agents > 1 else (record_cap,)

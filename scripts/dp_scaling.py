@@ -77,6 +77,31 @@ def main() -> int:
         ))
         print(rows[-1], flush=True)
 
+    # on-policy twin: PPO through train_onpolicy(mesh=) at every size
+    from freerl_tpu.algos.ppo import PPO, PPOConfig
+    from freerl_tpu.train.onpolicy import OnPolicyConfig, train_onpolicy
+
+    on_rows = []
+    for n_dev in (1, 2, 4, 8):
+        if n_dev > jax.device_count():
+            break
+        nenv = args.envs_per_device * n_dev
+        ppo = PPO(env.dim_info, PPOConfig(
+            horizon=128 * nenv, minibatch_size=64, num_envs=nenv,
+            adv_norm=True, axis_name="dp"))
+        ocfg = OnPolicyConfig(
+            num_envs=nenv, max_episodes=10**9,
+            max_env_steps=nenv * args.steps // 2, horizon=128 * nenv,
+        )
+        _, _, info = train_onpolicy(env, ppo, ocfg, mesh=make_mesh(n_dev))
+        on_rows.append(dict(
+            n_devices=n_dev, num_envs=nenv,
+            env_steps=info["env_steps"],
+            env_steps_per_s=round(info["env_steps_per_s"], 1),
+            iterations=info["iterations"],
+        ))
+        print(on_rows[-1], flush=True)
+
     # one full learning curve through the 8-device sharded path
     algo = DQN(env.dim_info, DQNConfig(
         buffer_size=20_000, batch_size=64, axis_name="dp"))
@@ -95,6 +120,7 @@ def main() -> int:
             "backend": jax.default_backend(),
             "virtual_devices": bool(args.cpu),
             "sweep": rows,
+            "onpolicy_sweep": on_rows,
             "dp8_curve_final30": float(curve[-30:].mean()),
         }, f, indent=2)
     print("wrote", args.out, flush=True)
