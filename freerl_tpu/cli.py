@@ -89,6 +89,12 @@ def build(args):
     ):
         env_kwargs["continuous_actions"] = False
     env = make(args.env_name, dis_to_con=args.dis_to_con, **env_kwargs)
+    if args.fixed_reset:
+        # the reference's same-seed-every-episode reset convention
+        # (DQN_file/DQN.py:334, SURVEY §4.1 determinism fixture)
+        from freerl_tpu.envs.base import FixedResetWrapper
+
+        env = FixedResetWrapper(env, seed=args.seed)
 
     a = args.algo
     n_envs = args.num_envs
@@ -190,6 +196,9 @@ def run(argv=None):
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--trick", nargs="*", default=[])
     p.add_argument("--dis_to_con", action="store_true")
+    p.add_argument("--fixed_reset", action="store_true",
+                   help="pin every episode reset to one start state "
+                        "(the reference's env.reset(seed=seed) loop)")
     p.add_argument("--discrete_actions", action="store_true")
     p.add_argument("--results_root", default="results")
     p.add_argument("--no_tensorboard", action="store_true")
