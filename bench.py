@@ -86,9 +86,38 @@ def bench_mappo(num_envs=1024, steps_per_iter=32):
     return _bench_onpolicy(env, algo, num_envs, steps_per_iter)
 
 
+def _tpu_healthy(timeout_s: int = 90) -> bool:
+    """Probe the accelerator with a real computation under a subprocess
+    timeout: the axon tunnel can enumerate devices yet hang on execution
+    (observed repeatedly in r3), which would stall the whole bench."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.sqrt(jnp.ones((8, 8))).sum()))"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return out.returncode == 0 and "64.0" in out.stdout
+
+
 def main():
+    cpu_fallback = False
     if os.environ.get("BENCH_FORCE_CPU"):
         jax.config.update("jax_platforms", "cpu")
+    elif not _tpu_healthy():
+        # degrade honestly: measure on CPU with the fallback explicit in
+        # the metric name rather than hang the driver on a dead tunnel
+        print("# TPU tunnel unhealthy; falling back to CPU",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        cpu_fallback = True
+        os.environ.setdefault("BENCH_SKIP_EXTRA", "1")
+        global NUM_ENVS
+        NUM_ENVS = min(NUM_ENVS, 512)
     from freerl_tpu.algos.dqn import DQN, DQNConfig
     from freerl_tpu.buffers.uniform import ReplayBuffer  # noqa: F401
     from freerl_tpu.core.types import Transition
@@ -171,8 +200,11 @@ def main():
         except Exception as e:  # extras must never sink the headline
             extra["error"] = repr(e)
 
+    metric = "dqn_lunarlander_env_steps_per_s"
+    if cpu_fallback:
+        metric += "_CPU_FALLBACK_tpu_tunnel_down"
     print(json.dumps({
-        "metric": "dqn_lunarlander_env_steps_per_s",
+        "metric": metric,
         "value": round(sps, 1),
         "unit": "env_steps/s",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_S, 3),
