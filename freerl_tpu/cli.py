@@ -89,7 +89,9 @@ def build(args):
     ):
         env_kwargs["continuous_actions"] = False
     env = make(args.env_name, dis_to_con=args.dis_to_con, **env_kwargs)
-    if args.fixed_reset:
+    # getattr: config.json files from runs predating this flag (and test
+    # namespaces) lack the key
+    if getattr(args, "fixed_reset", False):
         # the reference's same-seed-every-episode reset convention
         # (DQN_file/DQN.py:334, SURVEY §4.1 determinism fixture)
         from freerl_tpu.envs.base import FixedResetWrapper
