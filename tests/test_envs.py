@@ -157,3 +157,31 @@ def test_dis_to_con_wrapper():
     np.testing.assert_allclose(
         np.asarray(w.to_continuous(jnp.int32(3))), [1, 1, -1, -1]
     )
+
+
+def test_fixed_reset_wrapper_pins_start_state():
+    """FixedResetWrapper: every reset (any key) lands on one start state —
+    the reference's env.reset(seed=seed) loop (DQN_file/DQN.py:334)."""
+    import jax
+    import numpy as np
+
+    from freerl_tpu.envs import make
+    from freerl_tpu.envs.base import FixedResetWrapper, vec_step_auto_reset
+
+    env = FixedResetWrapper(make("MountainCar-v0"), seed=3)
+    _, o1 = env.reset(jax.random.PRNGKey(0))
+    _, o2 = env.reset(jax.random.PRNGKey(999))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    # unwrapped: different keys give different starts
+    raw = make("MountainCar-v0")
+    _, r1 = raw.reset(jax.random.PRNGKey(0))
+    _, r2 = raw.reset(jax.random.PRNGKey(999))
+    assert not np.array_equal(np.asarray(r1), np.asarray(r2))
+    # auto-reset path flows through the pinned reset too
+    import jax.numpy as jnp
+
+    s, o = env.reset(jax.random.PRNGKey(1))
+    state = jax.tree.map(lambda x: jnp.broadcast_to(x, (4,) + x.shape), s)
+    out = vec_step_auto_reset(env, state, jnp.zeros((4,), jnp.int32),
+                              jax.random.PRNGKey(2), 4)
+    assert out.next_obs.shape == (4, 2)
