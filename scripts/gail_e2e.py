@@ -104,11 +104,17 @@ def main() -> int:
     # the discriminator reward signal stable. (Our PPO mirrors the
     # reference PPO_file's MERGED actor+critic optimizer, so the single
     # lr follows p_lr.)
+    # d_lr 1e-4 (not the reference's 4e-4): our vectorized collection
+    # feeds the discriminator ~8x more on-policy data per iteration, so
+    # the reference lr overpowers the policy and imitation collapses
+    # late (measured: 4e-4 -> eval -324; longer runs -1587). At 1e-4 the
+    # 10-seed eval lands at -185.1 vs the reference's best committed run
+    # -184.1 (its other run: -642.8).
     gail = GAIL(env.dim_info,
                 PPOConfig(horizon=2048, minibatch_size=64, num_envs=8,
                           actor_lr=1e-4,
                           adv_norm=True, orthogonal_init=True, tanh=False),
-                GAILConfig(d_steps_per_iter=1))
+                GAILConfig(d_steps_per_iter=1, d_lr=1e-4))
     state, curve, history = train_gail(
         env, gail, data, num_iterations=args.gail_iters, num_envs=8,
         seed=args.seed + 1,
