@@ -10,8 +10,9 @@ LOG=${1:-results/queue_r4.log}
 step() { echo "=== $(date +%H:%M:%S) $1 ===" | tee -a "$LOG"; }
 
 step "tpu probe"
-python scripts/tpu_probe.py --timeout 90 | tee -a "$LOG" || {
-  echo "TPU down — aborting queue" | tee -a "$LOG"; exit 1; }
+if ! python scripts/tpu_probe.py --timeout 90 >> "$LOG" 2>&1; then
+  echo "TPU down — aborting queue" | tee -a "$LOG"; exit 1
+fi
 
 step "envelope train + Pareto sweep (clears the two pending golden specs)"
 timeout 10800 python -u scripts/envelope_e2e.py --train >> "$LOG" 2>&1
