@@ -140,7 +140,7 @@ def main():
         done=jnp.zeros((), jnp.bool_),
         episode_done=jnp.zeros((), jnp.bool_),
     )
-    buffer = algo.make_buffer(example)
+    buffer = algo.make_buffer(example, num_envs=NUM_ENVS)
     env_state, obs = jax.jit(lambda k: vec_reset(env, k, NUM_ENVS))(k_env)
 
     from freerl_tpu.algos.base import ExploreCtx

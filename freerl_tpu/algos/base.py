@@ -31,12 +31,13 @@ class ExploreCtx:
 class OffPolicyAlgo:
     """Default hooks; algorithms override what they need."""
 
-    def make_buffer(self, example: Transition):
+    def make_buffer(self, example: Transition, num_envs: int = 0):
         from freerl_tpu.buffers.uniform import ReplayBuffer
 
         return ReplayBuffer.create(
             self.cfg.buffer_size, example,
             bf16_storage=getattr(self.cfg, "bf16_replay", False),
+            add_batch=num_envs,
         )
 
     def process_obs(self, state, next_obs, carry_obs):

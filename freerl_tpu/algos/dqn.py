@@ -323,13 +323,17 @@ class DQN(OffPolicyAlgo):
     # ------------------------------------------------------------------
     # Train-loop adapter (consumed by freerl_tpu.train.loop.train_offpolicy)
     # ------------------------------------------------------------------
-    def make_buffer(self, example: Transition):
+    def make_buffer(self, example: Transition, num_envs: int = 0):
         from freerl_tpu.buffers.per import PERBuffer
         from freerl_tpu.buffers.uniform import ReplayBuffer
 
         if self.cfg.per:
+            # PER rounds capacity to the next power of two itself, so the
+            # usual power-of-two env batches stay slice-aligned.
             return PERBuffer.create(self.cfg.buffer_size, example)
-        return ReplayBuffer.create(self.cfg.buffer_size, example)
+        return ReplayBuffer.create(
+            self.cfg.buffer_size, example, add_batch=num_envs
+        )
 
     def explore(self, state: DQNState, obs, key, ctx):
         """Epsilon-greedy (or pure noisy-net) exploration, batched.

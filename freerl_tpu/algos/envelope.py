@@ -67,11 +67,18 @@ class EnvelopeConfig:
     epsilon_decay: bool = False
     epsilon_final: float = 0.05
     weight_num: int = 4
-    beta_init: float = 0.01
+    # reference default --beta 0.95 (ENVELOPE_DQN.py:410): the homotopy
+    # path runs 0.95 -> 1.0, i.e. the SCALARIZED auxiliary loss dominates
+    # from the start.  (A 0.01 start — vector-loss-dominant — was measured
+    # here to diverge along the preference axis on DST: Q_time reached
+    # +636 when every time reward is -1.)
+    beta_init: float = 0.95
     beta_uplim: float = 1.0
     homotopy_tau: float = 1000.0
     max_episodes: int = 500
-    grad_clip: float = 1.0
+    # the reference calls clip_grad_norm_ BEFORE backward()
+    # (ENVELOPE_DQN.py:70-74) so its clip is a no-op; None matches that.
+    grad_clip: Optional[float] = None
     axis_name: Optional[str] = None
 
 
@@ -105,7 +112,8 @@ class Envelope(OffPolicyAlgo):
         self.cfg = cfg
         self.net = MOQNet(dim_info.action_dim, reward_dim, tuple(cfg.hidden))
         self.tx = optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip),
+            *([optax.clip_by_global_norm(cfg.grad_clip)]
+              if cfg.grad_clip is not None else []),
             optax.adam(cfg.lr, eps=1e-8),
         )
         # exponential homotopy schedule (reference :94-101)
@@ -128,8 +136,10 @@ class Envelope(OffPolicyAlgo):
             step=jnp.int32(0),
         )
 
-    def make_buffer(self, example: Transition) -> MOReplay:
+    def make_buffer(self, example: Transition, num_envs: int = 0) -> MOReplay:
         cap = self.cfg.buffer_size
+        if num_envs > 0 and cap % num_envs != 0:
+            cap = ((cap + num_envs - 1) // num_envs) * num_envs
         data = jax.tree.map(
             lambda x: jnp.zeros((cap,) + jnp.shape(x), jnp.asarray(x).dtype),
             example,
@@ -219,18 +229,26 @@ class Envelope(OffPolicyAlgo):
             pos=(buffer.pos + b) % buffer.capacity,
             size=jnp.minimum(buffer.size + b, buffer.capacity),
         )
-        # homotopy beta advances at episode ends (:184-186)
-        n_done = jnp.sum(batch.episode_done.astype(jnp.float32))
+        # homotopy beta advances once per TERMINATED transition — the
+        # reference bumps inside ``add``'s ``done`` branch where done is
+        # done_bool=terminated (:182-184, :498-500).  The recurrence
+        #   beta += delta; delta = (beta - beta0)*(E - 1)
+        # makes (beta - beta0) grow geometrically by E per bump, landing
+        # exactly on beta_uplim at max_episodes.  With a vectorized env
+        # several episodes can terminate in one step, so apply the bump
+        # n_done times (b is small and static: a masked fori_loop).
+        n_done = jnp.sum(batch.done.astype(jnp.int32))
 
-        new_beta = jnp.minimum(
-            state.beta + state.beta_delta, cfg.beta_uplim
+        def bump(i, acc):
+            beta, delta = acc
+            nb = jnp.minimum(beta + delta, cfg.beta_uplim)
+            nd = (nb - cfg.beta_init) * (self.beta_expbase - 1.0)
+            live = i < n_done
+            return (jnp.where(live, nb, beta), jnp.where(live, nd, delta))
+
+        beta, beta_delta = jax.lax.fori_loop(
+            0, b, bump, (state.beta, state.beta_delta)
         )
-        new_delta = (
-            (new_beta - cfg.beta_init) * self.beta_expbase
-            + cfg.beta_init - new_beta
-        )
-        beta = jnp.where(n_done > 0, new_beta, state.beta)
-        beta_delta = jnp.where(n_done > 0, new_delta, state.beta_delta)
         return state.replace(beta=beta, beta_delta=beta_delta), buffer
 
     # loop hook: the generic driver routes adds through the algo so the
@@ -238,12 +256,24 @@ class Envelope(OffPolicyAlgo):
     add_transition = add_with_priority
 
     def sample(self, buffer: MOReplay, key, batch_size):
+        """Priority-proportional sampling WITHOUT replacement.
+
+        The reference draws ``np.random.choice(..., replace=False,
+        p=priorities/sum)`` over the whole buffer (ENVELOPE_DQN.py:191-196).
+        Without-replacement matters: add-time priorities are never
+        refreshed, so with replacement a few stale high-priority entries
+        dominate the batch as near-duplicates (measured here as part of
+        the preference-axis Q divergence).  The Gumbel-top-k trick gives
+        the exact same Plackett-Luce draw as sequential no-replacement
+        sampling, in one fused XLA op.
+        """
         logits = jnp.where(
             jnp.arange(buffer.capacity) < buffer.size,
             jnp.log(buffer.priorities + 1e-12),
             -jnp.inf,
         )
-        idx = jax.random.categorical(key, logits, shape=(batch_size,))
+        g = jax.random.gumbel(key, logits.shape)
+        _, idx = jax.lax.top_k(logits + g, batch_size)
         return jax.tree.map(lambda x: x[idx], buffer.data)
 
     # ------------------------------------------------------------------
@@ -365,14 +395,10 @@ class EnvelopeDDPG(OffPolicyAlgo):
         self.cfg = cfg
         self.actor = MOActor(dim_info.action_dim, tuple(cfg.hidden))
         self.critic = MOCritic(reward_dim, tuple(cfg.hidden))
-        self.actor_tx = optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip),
-            optax.adam(cfg.lr, eps=1e-8),
-        )
-        self.critic_tx = optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip),
-            optax.adam(cfg.lr, eps=1e-8),
-        )
+        clip = ([optax.clip_by_global_norm(cfg.grad_clip)]
+                if cfg.grad_clip is not None else [])
+        self.actor_tx = optax.chain(*clip, optax.adam(cfg.lr, eps=1e-8))
+        self.critic_tx = optax.chain(*clip, optax.adam(cfg.lr, eps=1e-8))
         self.beta_expbase = float(
             (cfg.homotopy_tau * (cfg.beta_uplim - cfg.beta_init))
             ** (1.0 / cfg.max_episodes)

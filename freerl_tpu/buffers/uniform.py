@@ -30,12 +30,31 @@ class ReplayBuffer:
     # back to float32 so the learner math is unchanged (opt-in — bf16
     # quantizes observations to 8 mantissa bits)
     bf16_storage: bool = struct.field(pytree_node=False, default=False)
+    # creation-time add-batch contract: when > 0, EVERY add must carry
+    # exactly this many rows (enforced loudly at trace time), capacity is
+    # a multiple of it, and pos therefore stays aligned — making the
+    # contiguous fast-path write provably wrap-safe.  0 = mixed add sizes
+    # allowed (e.g. HER's T*num_envs + k*T*num_envs cycles), always via
+    # the modular scatter path.
+    align: int = struct.field(pytree_node=False, default=0)
 
     # ------------------------------------------------------------------
     @classmethod
     def create(cls, capacity: int, example: Transition,
-               bf16_storage: bool = False) -> "ReplayBuffer":
-        """Allocate from a single example transition (no batch dim)."""
+               bf16_storage: bool = False,
+               add_batch: int = 0) -> "ReplayBuffer":
+        """Allocate from a single example transition (no batch dim).
+
+        ``add_batch``: the fixed per-add row count (usually ``num_envs``).
+        Capacity is rounded UP to the next multiple so the ring write is a
+        contiguous ``dynamic_update_slice`` (never less than the requested
+        capacity, preserving the reference's ``buffer_size=1e6`` floor —
+        DQN_file/DQN.py:249).  Round-up matters: the round-3 profile
+        measured the modular-scatter fallback at 463 us of a 544 us
+        4096-env step (85%) because ``1e6 % 4096 != 0``.
+        """
+        if add_batch > 0 and capacity % add_batch != 0:
+            capacity = ((capacity + add_batch - 1) // add_batch) * add_batch
 
         def alloc(x):
             dt = jnp.asarray(x).dtype
@@ -50,22 +69,31 @@ class ReplayBuffer:
             size=jnp.int32(0),
             capacity=capacity,
             bf16_storage=bf16_storage,
+            align=add_batch,
         )
 
     # ------------------------------------------------------------------
     def add(self, batch: Transition) -> "ReplayBuffer":
         """Write a batch of B transitions at the ring position.
 
-        When ``capacity % B == 0`` (the common case: power-of-two sized
-        rings, fixed env batch) the write position is always a multiple
-        of B, so the write is a contiguous ``dynamic_update_slice`` —
-        XLA updates the ring in place. The general path is a modular
-        scatter, which XLA lowers with a full-ring copy (measured 463 us
-        per 4096-env step on v5e vs ~40 us for the env step itself —
-        scripts/profile_bench.py).
+        With an ``align`` contract (B fixed at creation) the write
+        position is always a multiple of B and ``capacity % B == 0``, so
+        the write is a contiguous ``dynamic_update_slice`` that can never
+        clamp mid-ring — XLA updates the ring in place.  Without the
+        contract the general path is a modular scatter, which XLA lowers
+        with a full-ring copy (measured 463 us per 4096-env step on v5e
+        vs ~40 us for the env step itself — scripts/profile_bench.py).
         """
         b = jax.tree.leaves(batch)[0].shape[0]
-        if self.capacity % b == 0:
+        if self.align > 0 and b != self.align:
+            raise ValueError(
+                f"ReplayBuffer was created with add_batch={self.align} but "
+                f"this add carries {b} rows; mixed add sizes de-align the "
+                f"ring position and would corrupt the contiguous write "
+                f"path. Create the buffer with add_batch=0 for mixed-size "
+                f"adds (scatter path)."
+            )
+        if self.align > 0:
             data = jax.tree.map(
                 lambda buf, new: jax.lax.dynamic_update_slice_in_dim(
                     buf, new.astype(buf.dtype), self.pos, axis=0

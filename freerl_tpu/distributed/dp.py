@@ -177,7 +177,8 @@ def train_offpolicy_sharded(env: Env, algo, cfg, mesh: Mesh,
         me = jax.lax.axis_index(axis)
         k = jax.random.fold_in(k, me)
         env_state, obs = vec_reset(env, k, envs_per_dev)
-        buffer = algo.make_buffer(_example_transition(env, algo))
+        buffer = algo.make_buffer(_example_transition(env, algo),
+                                  num_envs=envs_per_dev)
         buffer = jax.tree.map(lambda x: x[None], buffer)
         return env_state, obs, buffer
 
@@ -243,9 +244,17 @@ def train_offpolicy_sharded(env: Env, algo, cfg, mesh: Mesh,
             buffer = buffer.add(trans)
 
         # per-device chronological episode record + completion step
-        step_reward = (
-            out.reward.sum(axis=-1) if out.reward.ndim > 1 else out.reward
-        )
+        # (vector rewards scalarize with the env's record weights, as in
+        # train/loop.py — the reference DST curve is reward . [0.5, 0.5])
+        if out.reward.ndim > 1:
+            rw = jnp.asarray(
+                getattr(env, "record_weights",
+                        np.ones((out.reward.shape[-1],), np.float32)),
+                jnp.float32,
+            )
+            step_reward = out.reward @ rw
+        else:
+            step_reward = out.reward
         ret = c["ep_return"] + step_reward
         dones = out.episode_done
         n_count = c["ep_counter"][0]
@@ -608,7 +617,8 @@ def dp_env_learner_step(env: Env, algo, mesh: Mesh, envs_per_device: int,
         me = jax.lax.axis_index(axis)
         k = jax.random.fold_in(key, me)
         env_state, obs = vec_reset(env, k, envs_per_device)
-        buffer = algo.make_buffer(_example_transition(env))
+        buffer = algo.make_buffer(_example_transition(env),
+                                  num_envs=envs_per_device)
         # re-add the device axis stripped by out_specs=P(axis)
         buffer = jax.tree.map(lambda x: x[None], buffer)
         return env_state, obs, buffer

@@ -51,6 +51,8 @@ class DeepSeaTreasure(Env):
     name = "deep-sea-treasure-v0"
     max_steps = 100
     reward_dim = 2
+    # training-curve scalarization w_set_1 (ENVELOPE_DQN.py:459,503)
+    record_weights = (0.5, 0.5)
     dim_info = DimInfo(obs_dim=2, action_dim=4, is_continue=False)
 
     value_map = jnp.asarray(_VALUE_MAP)

@@ -119,7 +119,7 @@ def train_offpolicy(env: Env, algo, cfg: OffPolicyConfig,
     key = jax.random.PRNGKey(cfg.seed)
     k_algo, k_env, k_loop = jax.random.split(key, 3)
     algo_state = algo.init(k_algo)
-    buffer = algo.make_buffer(_example_transition(env, algo))
+    buffer = algo.make_buffer(_example_transition(env, algo), num_envs=num_envs)
     env_state, obs = vec_reset(env, k_env, num_envs)
 
     carry = LoopCarry(
@@ -179,11 +179,19 @@ def train_offpolicy(env: Env, algo, cfg: OffPolicyConfig,
         else:
             buffer = carry.buffer.add(trans)
 
-        # episode accounting: scatter finished returns chronologically
-        # (vector rewards — MORL — are scalarized by sum for the record)
-        step_reward = (
-            out.reward.sum(axis=-1) if out.reward.ndim > 1 else out.reward
-        )
+        # episode accounting: scatter finished returns chronologically.
+        # Vector rewards (MORL) are scalarized with the env's record
+        # weights — the reference's DST curve is reward . [0.5, 0.5]
+        # (ENVELOPE_DQN.py:459,503), NOT the sum.
+        if out.reward.ndim > 1:
+            rw = jnp.asarray(
+                getattr(env, "record_weights",
+                        np.ones((out.reward.shape[-1],), np.float32)),
+                jnp.float32,
+            )
+            step_reward = out.reward @ rw
+        else:
+            step_reward = out.reward
         ret = carry.ep_return + step_reward
         dones = out.episode_done
         offs = jnp.cumsum(dones.astype(jnp.int32)) - 1

@@ -84,7 +84,7 @@ def train_marl(env: Env, algo, cfg: MARLConfig,
     key = jax.random.PRNGKey(cfg.seed)
     k_algo, k_env, k_loop = jax.random.split(key, 3)
     algo_state = algo.init(k_algo)
-    buffer = algo.make_buffer(_example_transition(env))
+    buffer = algo.make_buffer(_example_transition(env), num_envs=num_envs)
     env_state, obs = vec_reset(env, k_env, num_envs)
 
     carry = MARLCarry(

@@ -29,9 +29,12 @@ while true; do
   while kill -0 "$PID" 2>/dev/null; do
     sleep 300
     RUNDIR=$(ls -td "$ROOT"/deep-sea-treasure-v0/ENVELOPE_* 2>/dev/null | head -1)
-    CKPT="$RUNDIR/checkpoint"
-    if [ -d "$CKPT" ]; then
-      AGE=$(( $(date +%s) - $(stat -c %Y "$CKPT") ))
+    if [ -z "$RUNDIR" ]; then
+      # run died before creating its dir: treat as stalled immediately
+      say "no run dir after 300s; treating as stalled"
+      AGE=100000
+    elif [ -d "$RUNDIR/checkpoint" ]; then
+      AGE=$(( $(date +%s) - $(stat -c %Y "$RUNDIR/checkpoint") ))
     else
       AGE=$(( $(date +%s) - $(stat -c %Y "$RUNDIR/config.json") ))
     fi

@@ -80,7 +80,7 @@ def measure(num_envs, chunk, chunks, mode, trace_dir=None):
         done=jnp.zeros((), jnp.bool_),
         episode_done=jnp.zeros((), jnp.bool_),
     )
-    buffer = algo.make_buffer(example)
+    buffer = algo.make_buffer(example, num_envs=num_envs)
     env_state, obs = jax.jit(lambda k: vec_reset(env, k, num_envs))(k_env)
     step_fn = build(env, algo, num_envs, mode)
 
