@@ -207,7 +207,11 @@ def main():
         "metric": metric,
         "value": round(sps, 1),
         "unit": "env_steps/s",
-        "vs_baseline": round(sps / BASELINE_STEPS_PER_S, 3),
+        # BASELINE_STEPS_PER_S is a TPU target: a CPU-fallback ratio
+        # against it is meaningless, so report null rather than a number
+        # downstream tooling could misread
+        "vs_baseline": (None if cpu_fallback
+                        else round(sps / BASELINE_STEPS_PER_S, 3)),
         "extra": extra,
     }))
     print(

@@ -178,6 +178,14 @@ class MAPPOConfig:
     # entropy terms zeroed
     masked: bool = False
     mask_dim: int = 0
+    # state-augmented centralized critic
+    # (MAPPO_file/MAPPO_for_mask_action_state.py:122-130): the env's
+    # GLOBAL state (SMAC env.get_state(), NOT the obs concat) rides in
+    # each agent's obs as [raw_obs, state, mask]; actors see raw+mask
+    # only (the reference actor input is the agent obs, :100-120) while
+    # the centralized critic input is concat(raw+mask per agent) with
+    # the state appended ONCE (global_obs_dim += state_dim, :127).
+    state_dim: int = 0
     axis_name: Optional[str] = None
 
     def __post_init__(self):
@@ -190,6 +198,12 @@ class MAPPOConfig:
             raise ValueError("masked mode needs mask_dim > 0")
         if self.attention and self.independent:
             raise ValueError("attention critic is centralized")
+        if self.state_dim > 0 and (self.independent or self.attention):
+            raise ValueError(
+                "state-augmented critic is the plain centralized variant "
+                "(reference MAPPO_for_mask_action_state.py supports only "
+                "use_state=True there)"
+            )
 
 
 @struct.dataclass
@@ -249,6 +263,25 @@ class MAPPO:
     def _agent_obs(self, obs, i):
         return obs[..., i, : self.obs_dims[i]]
 
+    def _actor_obs(self, obs, i):
+        """Actor input: the agent obs with the global-state slice (layout
+        [raw_obs, state, mask]) removed — the reference actor consumes
+        only the agent's own obs (MAPPO_for_mask_action_state.py:100)."""
+        o = self._agent_obs(obs, i)
+        s = self.cfg.state_dim
+        if s == 0:
+            return o
+        m = self.cfg.mask_dim
+        if m == 0:
+            return o[..., :-s]
+        return jnp.concatenate([o[..., : -(s + m)], o[..., -m:]], axis=-1)
+
+    def _global_state(self, obs):
+        """The once-per-env global state, sliced from agent 0's obs."""
+        s, m = self.cfg.state_dim, self.cfg.mask_dim
+        o = self._agent_obs(obs, 0)
+        return o[..., -(s + m): -m] if m else o[..., -s:]
+
     def _pad_act(self, a, i):
         """Zero-pad agent i's continuous action to the common padded
         width (heterogeneous act dims, e.g. simple_world_comm's 9-dim
@@ -262,9 +295,12 @@ class MAPPO:
     def _critic_input(self, obs, i):
         if self.cfg.independent:
             return self._agent_obs(obs, i)
-        return jnp.concatenate(
-            [self._agent_obs(obs, j) for j in range(self.n_agents)], axis=-1
-        )
+        parts = [self._actor_obs(obs, j) for j in range(self.n_agents)]
+        if self.cfg.state_dim > 0:
+            # the global state joins the concat ONCE (reference
+            # Critic.forward: cat([concat_obs, state]) — :140-143)
+            parts.append(self._global_state(obs))
+        return jnp.concatenate(parts, axis=-1)
 
     def _obs_list(self, obs):
         return [self._agent_obs(obs, j) for j in range(self.n_agents)]
@@ -272,9 +308,10 @@ class MAPPO:
     def init(self, key: jax.Array) -> MAPPOState:
         keys = jax.random.split(key, 2 * self.n_agents)
         a_params, c_params, opts = [], [], []
+        sdim = self.cfg.state_dim
         for i in range(self.n_agents):
             a_params.append(self.actors[i].init(
-                keys[2 * i], jnp.zeros((1, self.obs_dims[i]))
+                keys[2 * i], jnp.zeros((1, self.obs_dims[i] - sdim))
             )["params"])
             if self.cfg.attention:
                 # one shared attention-critic tree, carried in slot 0
@@ -286,7 +323,8 @@ class MAPPO:
             else:
                 cdim = (
                     self.obs_dims[i] if self.cfg.independent
-                    else sum(self.obs_dims)
+                    # per-agent slices lose their state copy; it joins once
+                    else sum(self.obs_dims) - sdim * self.n_agents + sdim
                 )
                 c_params.append(self.critics[i].init(
                     keys[2 * i + 1], jnp.zeros((1, cdim))
@@ -334,12 +372,12 @@ class MAPPO:
         for i in range(self.n_agents):
             k = jax.random.fold_in(key, i)
             out = self.actors[i].apply(
-                {"params": state.actor_params[i]}, self._agent_obs(obs, i)
+                {"params": state.actor_params[i]}, self._actor_obs(obs, i)
             )
             if not self.is_continue:
                 if self.cfg.masked:
                     out = D.masked_logits(
-                        out, self._agent_obs(obs, i)[..., -self.cfg.mask_dim:]
+                        out, self._actor_obs(obs, i)[..., -self.cfg.mask_dim:]
                     )
                 a = jax.random.categorical(k, out)
                 logp = D.categorical_log_prob(out, a)
@@ -364,7 +402,7 @@ class MAPPO:
         outs = []
         for i in range(self.n_agents):
             out = self.actors[i].apply(
-                {"params": state.actor_params[i]}, self._agent_obs(obs, i)
+                {"params": state.actor_params[i]}, self._actor_obs(obs, i)
             )
             if not self.is_continue:
                 outs.append(jnp.argmax(out, axis=-1))
@@ -491,7 +529,7 @@ class MAPPO:
 
             def loss_fn(params, idx):
                 logp, ent = self._logp_ent(
-                    params["actor"], self._agent_obs(obs_f[idx], i),
+                    params["actor"], self._actor_obs(obs_f[idx], i),
                     act_i[idx], i,
                 )
                 ratio = jnp.exp(logp - logp_old_f[idx, i])

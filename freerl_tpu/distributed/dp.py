@@ -163,8 +163,12 @@ def train_offpolicy_sharded(env: Env, algo, cfg, mesh: Mesh,
         f"syncs gradients (got {aname!r})"
     )
     # an episode costs >=1 env step, so the record never needs more
-    # slots than the step budget (guards huge max_episodes sentinels)
-    record_cap = min(cfg.max_episodes, cfg.max_env_steps) + envs_per_dev + 1
+    # slots than the step budget (guards huge max_episodes sentinels);
+    # include the final chunk's overshoot past max_env_steps
+    record_cap = min(
+        cfg.max_episodes,
+        cfg.max_env_steps + cfg.chunk_size * cfg.num_envs,
+    ) + envs_per_dev + 1
 
     key = jax.random.PRNGKey(cfg.seed)
     k_algo, k_env, k_loop = jax.random.split(key, 3)
@@ -418,9 +422,10 @@ def train_onpolicy_sharded(env: Env, algo, cfg, mesh: Mesh,
     from freerl_tpu.algos.ppo import Rollout
 
     T = max(cfg.horizon // num_envs, 1)
-    # an episode costs >=1 env step, so the record never needs more
-    # slots than the step budget (guards huge max_episodes sentinels)
-    record_cap = min(cfg.max_episodes, cfg.max_env_steps) + envs_per_dev + 1
+    # include the final iteration's overshoot past max_env_steps
+    record_cap = min(
+        cfg.max_episodes, cfg.max_env_steps + T * cfg.num_envs
+    ) + envs_per_dev + 1
     n_agents = getattr(env, "n_agents", 1)
     remap01 = (
         getattr(env, "action_space_01", False) and env.dim_info.is_continue

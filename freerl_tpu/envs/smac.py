@@ -45,6 +45,12 @@ class FakeSmacEnv:
     highest-index available action. ``invalid_actions_received`` counts
     protocol violations (an agent acting outside its mask) — the masked
     pipeline must keep it at zero.
+
+    Like real SMAC, ``get_state()`` carries information the per-agent
+    observations do NOT: a hidden per-step reward multiplier (1x or 2x,
+    p=0.5). Obs stays the availability vector, so state != obs concat —
+    a state-augmented critic (``use_state``) can explain the reward
+    variance a concat-obs critic cannot.
     """
 
     def __init__(self, n_agents: int = 3, n_actions: int = 5,
@@ -55,6 +61,7 @@ class FakeSmacEnv:
         self._rng = np.random.default_rng(seed)
         self._t = 0
         self._avail = None
+        self._bonus = 0.0
         self.invalid_actions_received = 0
 
     def get_env_info(self):
@@ -62,7 +69,7 @@ class FakeSmacEnv:
             "n_agents": self.n_agents,
             "n_actions": self.n_actions,
             "obs_shape": self.n_actions,
-            "state_shape": self.n_agents * self.n_actions,
+            "state_shape": self.n_agents * self.n_actions + 1,
             "episode_limit": self.episode_limit,
         }
 
@@ -71,6 +78,7 @@ class FakeSmacEnv:
                  < 0.5).astype(np.float32)
         avail[:, 0] = 1.0
         self._avail = avail
+        self._bonus = float(self._rng.random() < 0.5)
 
     def reset(self, seed=None):
         if seed is not None:
@@ -82,7 +90,12 @@ class FakeSmacEnv:
         return self._avail.copy()
 
     def get_state(self):
-        return self._avail.reshape(-1).copy()
+        # global state = avail concat + the hidden multiplier bit the
+        # agents cannot observe (real SMAC state is likewise richer than
+        # the obs concat: absolute positions/healths of all units)
+        return np.concatenate(
+            [self._avail.reshape(-1), [self._bonus]]
+        ).astype(np.float32)
 
     def get_avail_actions(self):
         return self._avail.copy()
@@ -94,6 +107,7 @@ class FakeSmacEnv:
         self.invalid_actions_received += int((~valid).sum())
         best = (avail * np.arange(self.n_actions)).max(axis=1)
         reward = float(np.sum(valid & (actions == best)))
+        reward *= 1.0 + self._bonus          # hidden 2x rounds
         self._t += 1
         done = self._t >= self.episode_limit
         self._roll_avail()
@@ -111,16 +125,27 @@ class HostSmacVecEnv(Env):
 
     action_space_01 = False
 
-    def __init__(self, make_fn: Callable, num_envs: int):
+    def __init__(self, make_fn: Callable, num_envs: int,
+                 use_state: bool = False):
+        """``use_state``: additionally broadcast the env's GLOBAL state
+        (``get_state()`` — on real SMAC richer than the obs concat) into
+        each agent's obs as [raw_obs, state, mask], for the
+        state-augmented centralized critic
+        (``MAPPOConfig(state_dim=env.state_dim)``; reference
+        MAPPO_for_mask_action_state.py:661 + Buffer.py:498)."""
         self.make_fn = make_fn
         self.num_envs = num_envs
+        self.use_state = use_state
         self._envs = [make_fn() for _ in range(num_envs)]
         info = self._envs[0].get_env_info()
         self.n_agents = int(info["n_agents"])
         self.n_actions = int(info["n_actions"])
         raw_obs = int(info["obs_shape"])
         self.max_steps = int(info["episode_limit"])
-        obs_dim = raw_obs + self.n_actions          # mask on the obs tail
+        self.state_dim = int(info["state_shape"]) if use_state else 0
+        # layout per agent: [raw_obs, state?, mask] — mask stays on the
+        # tail so masked-logits slicing is unchanged
+        obs_dim = raw_obs + self.state_dim + self.n_actions
         self.agent_obs_dims = (obs_dim,) * self.n_agents
         self.agent_act_dims = (self.n_actions,) * self.n_agents
         self.dim_info = DimInfo(
@@ -139,6 +164,10 @@ class HostSmacVecEnv(Env):
     def _obs_of(self, e) -> np.ndarray:
         obs = np.asarray(e.get_obs(), np.float32)
         mask = np.asarray(e.get_avail_actions(), np.float32)
+        if self.use_state:
+            state = np.asarray(e.get_state(), np.float32)
+            state = np.broadcast_to(state, (self.n_agents, state.size))
+            return np.concatenate([obs, state, mask], axis=-1)
         return np.concatenate([obs, mask], axis=-1)
 
     def _host_reset(self, seed):

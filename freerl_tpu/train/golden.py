@@ -56,6 +56,16 @@ class GoldenSpec:
     # with a visible reason); an EXISTING artifact is still gated
     # normally — pending never excuses a bad curve, only an absent one.
     pending: bool = False
+    # slack semantics for the mean gate:
+    #   'abs'  — fixed ``slack`` below the reference mean (default);
+    #   'dist' — distribution-aware gate for bimodal final windows
+    #            (catastrophic forgetting): pass iff our mean is within
+    #            ONE reference cross-seed std of the reference mean, OR
+    #            at least one of our seeds beats the reference MEAN
+    #            outright. No hand slack wider than the reference's own
+    #            seed spread can sneak through (requires a multi-seed
+    #            reference artifact).
+    slack_mode: str = "abs"
 
 
 # reference protocol (DQN_file/DQN.py:227-253 argparse defaults): 500
@@ -84,11 +94,16 @@ SPECS: List[GoldenSpec] = [
     ),
     GoldenSpec(
         # final-50 on CartPole DQN is bimodal in BOTH impls (catastrophic
-        # forgetting): ref per-seed 498/468/213, ours 102/128/476 — the
-        # distributions overlap; slack covers the ref's own ~285 spread
+        # forgetting): ref per-seed 498/468/213, ours 102/128/476. The
+        # 'dist' gate replaces the old hand slack of 170 (> the ref's own
+        # cross-seed std of 128): passes here because our best seed (476)
+        # beats the reference MEAN (393), i.e. our solved mode matches
+        # theirs, and both overlap gates hold.
         "CartPole-v1", "DQN_3_seed",
         "DQN_file/learning_curves/CartPole-v1/DQN_3_seed.npy",
-        slack=170.0, note="bimodal final-50 in both impls; ours hits 476",
+        slack_mode="dist",
+        note="bimodal final-50 in both impls; dist gate (best 476 > ref "
+             "mean 393)",
         regen=("--algo", "DQN", "--env_name", "CartPole-v1",
                "--max_episodes", "500", "--num_envs", "8",
                "--updates_per_burst", "8", "--batch_size", "256",
@@ -158,9 +173,15 @@ SPECS: List[GoldenSpec] = [
     GoldenSpec(
         "MountainCar-v0", "DQN_Noisy_10_seed",
         "DQN_file/learning_curves/MountainCar-v0/DQN_Noisy_3_seed.npy",
+        # slack = the spread of the reference's own SOLVED seeds
+        # (-89.4 vs -119.5 = 30.1), not a hand number: "when it solves,
+        # it lands inside the reference's solved band". Solve rates for
+        # the record: ours 1/10; the reference's code rerun here 3/7;
+        # its committed artifact 2/3 (results/reference_rerun/).
         slack=30.0, agg="best",
-        note="bimodal solve lottery (see results/reference_rerun/); "
-             "best-seed gate over a pre-declared 10-seed sweep",
+        note="bimodal solve lottery (results/reference_rerun/); best-seed "
+             "gate, slack = ref solved-seed spread; solve rate ours 1/10 "
+             "vs ref-rerun 3/7",
         regen=("--algo", "DQN", "--env_name", "MountainCar-v0",
                "--max_episodes", "500", "--num_envs", "1",
                "--fixed_reset", "--batch_size", "256",
@@ -209,7 +230,9 @@ SPECS: List[GoldenSpec] = [
         "MountainCarContinuous-v0", "DDPG_OUNoise_1_seed",
         "DDPG_file/learning_curves/MountainCarContinuous-v0/"
         "DDPG_simple_1_seed.npy",
-        slack=10.0, note="OU-noise supplement variant",
+        # measured deficit is 3.9 (86.0 vs 89.9) on a ~90-scale return;
+        # 5.0 bounds it without the old 10-point blank check
+        slack=5.0, note="OU-noise supplement variant (ours 86.0)",
     ),
     GoldenSpec(
         "simple_spread_v3", "MADDPG_1_seed",
@@ -284,6 +307,35 @@ SPECS: List[GoldenSpec] = [
              "regen: scripts/envelope_e2e.py --train (~4h CPU; the r3 "
              "run hit its 2h queue timeout)",
     ),
+    # ---- beyond-curve empirical claims README/PARITY cite, now gated
+    GoldenSpec(
+        # pixel pipeline (PPO_file/PPO_with_pixel capability): DQN on
+        # pixel CartPole through envs/pixel.py + nets/cnn.py. No
+        # reference curve (its pixel run is a PPO notebook); floor is
+        # just under the measured 39.7 -> 42.9 curve so a silent
+        # regression to the untrained ~10 return fails loudly.
+        "PixelCartPole-v1", "DQN_seed_0", "",
+        floor=35.0,
+        note="pixel pipeline e2e (scripts/pixel_curve.py); starts ~9.8",
+    ),
+    GoldenSpec(
+        # 8-device sharded DP driver curve (distributed/dp.py): CartPole
+        # DQN on the 8-way CPU mesh. Floor guards the sharded learner
+        # actually learning, not just compiling (scripts/dp_scaling.py).
+        "CartPole-v1", "DQN_dp8_1_seed", "",
+        window=30, floor=100.0,
+        note="train_offpolicy_sharded on 8-device mesh (dp_scaling.py)",
+    ),
+    GoldenSpec(
+        # recurrent MAPPO (GRU + truncated BPTT — beyond-reference: the
+        # reference lists rmappo as unimplemented). Family-gated vs the
+        # reference's MAPPO spread curve like HAPPO/MAT.
+        "simple_spread_v3", "RMAPPO_1_seed",
+        "MAPPO_file/learning_curves/simple_spread_v3/MAPPO_1_seed.npy",
+        slack=8.0, floor=-28.0, pending=True,
+        note="no reference rmappo; gated vs its MAPPO family run "
+             "(scripts/marl_curves.py --only RMAPPO)",
+    ),
     GoldenSpec(
         "deep-sea-treasure-v0", "ENVELOPE_sweep_1_seed",
         "ENVELOPE_MORL_file/results/deep-sea-treasure-v0/ENVELOPE_DQN_1/"
@@ -334,7 +386,16 @@ def check(spec: GoldenSpec) -> dict:
     floor_ok = (spec.floor is None or
                 (ours is not None and ours >= spec.floor))
     if ours is not None and ref is not None:
-        mean_ok = ours >= ref - spec.slack
+        if spec.slack_mode == "dist":
+            assert ref_seeds.size >= 2, (
+                f"{spec.env}/{spec.algo}: 'dist' slack mode needs a "
+                f"multi-seed reference artifact"
+            )
+            ref_std = float(ref_seeds.std(ddof=0))
+            mean_ok = (ours >= ref - ref_std
+                       or float(ours_seeds.max()) >= ref)
+        else:
+            mean_ok = ours >= ref - spec.slack
         # the distribution check needs a distribution: with a single
         # committed reference seed best-vs-worst degenerates to an
         # ours>=ref equality gate stricter than any slack, so it applies
@@ -363,8 +424,54 @@ def check(spec: GoldenSpec) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# scalar gates: empirical claims whose artifact is a summary metric, not a
+# learning curve (the GAIL imitation result lives in an eval summary.json)
+# ---------------------------------------------------------------------------
+SCALAR_GATES = [
+    {
+        # GAIL Pendulum imitation parity (GAIL_file/GAIL.py protocol):
+        # the newest results/gail summary must keep gail_eval_avg above
+        # the floor (just under the committed -185.1) and the reference's
+        # own best run (-184.1) minus slack. Regen: scripts/gail_e2e.py.
+        "name": "GAIL_Pendulum_eval",
+        "glob": "results/gail/Pendulum-v1/GAIL/*/summary.json",
+        "key": "gail_eval_avg",
+        "floor": -190.0,
+        "ref": -184.1,
+        "slack": 6.0,
+        "note": "imitation eval avg (committed -185.1 vs ref best -184.1)",
+    },
+]
+
+
+def check_scalar(gate: dict) -> dict:
+    import glob
+    import json
+
+    root = os.path.join(os.path.dirname(__file__), "..", "..")
+    paths = sorted(glob.glob(os.path.join(root, gate["glob"])))
+    ours = None
+    if paths:
+        with open(paths[-1]) as f:
+            ours = float(json.load(f)[gate["key"]])
+    status = "missing"
+    if ours is not None:
+        ok = ours >= gate["floor"] and ours >= gate["ref"] - gate["slack"]
+        status = "pass" if ok else "FAIL"
+    return {
+        "env": gate["name"], "algo": gate["key"], "ours": ours,
+        "ref": gate["ref"], "slack": gate["slack"], "status": status,
+        "note": gate["note"], "ours_seeds": None, "ref_seeds": None,
+        "seed_overlap": None,
+    }
+
+
 def check_all(specs: Optional[List[GoldenSpec]] = None) -> List[dict]:
-    return [check(s) for s in (specs or SPECS)]
+    rows = [check(s) for s in (specs or SPECS)]
+    if specs is None:
+        rows += [check_scalar(g) for g in SCALAR_GATES]
+    return rows
 
 
 def regenerate(spec: GoldenSpec, results_root: str = "results") -> str:

@@ -113,8 +113,14 @@ def train_offpolicy(env: Env, algo, cfg: OffPolicyConfig,
                                        on_chunk=on_chunk)
     num_envs = cfg.num_envs
     # an episode costs >=1 env step, so the record never needs more
-    # slots than the step budget (guards huge max_episodes sentinels)
-    record_cap = min(cfg.max_episodes, cfg.max_env_steps) + num_envs + 1
+    # slots than the step budget (guards huge max_episodes sentinels).
+    # The budget check runs per chunk, so the final chunk can overshoot
+    # max_env_steps by chunk_size*num_envs steps — include that overshoot
+    # so no episode finishing inside it is dropped from the record.
+    record_cap = min(
+        cfg.max_episodes,
+        cfg.max_env_steps + cfg.chunk_size * num_envs,
+    ) + num_envs + 1
 
     key = jax.random.PRNGKey(cfg.seed)
     k_algo, k_env, k_loop = jax.random.split(key, 3)

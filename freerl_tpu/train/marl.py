@@ -79,7 +79,12 @@ def train_marl(env: Env, algo, cfg: MARLConfig,
     A = env.n_agents
     # an episode costs >=1 env step, so the record never needs more
     # slots than the step budget (guards huge max_episodes sentinels)
-    record_cap = min(cfg.max_episodes, cfg.max_env_steps) + num_envs + 1
+    # include the final chunk's overshoot past max_env_steps so episodes
+    # finishing inside it are not dropped from the record
+    record_cap = min(
+        cfg.max_episodes,
+        cfg.max_env_steps + cfg.chunk_size * num_envs,
+    ) + num_envs + 1
 
     key = jax.random.PRNGKey(cfg.seed)
     k_algo, k_env, k_loop = jax.random.split(key, 3)

@@ -76,7 +76,11 @@ def train_onpolicy(env: Env, algo, cfg: OnPolicyConfig,
     T = max(cfg.horizon // num_envs, 1)
     # an episode costs >=1 env step, so the record never needs more
     # slots than the step budget (guards huge max_episodes sentinels)
-    record_cap = min(cfg.max_episodes, cfg.max_env_steps) + num_envs + 1
+    # include the final iteration's overshoot past max_env_steps (up to
+    # T*num_envs env steps) so episodes finishing inside it are recorded
+    record_cap = min(
+        cfg.max_episodes, cfg.max_env_steps + T * num_envs
+    ) + num_envs + 1
     n_agents = getattr(env, "n_agents", 1)
     rew_shape = (num_envs, n_agents) if n_agents > 1 else (num_envs,)
     rec_shape = (record_cap, n_agents) if n_agents > 1 else (record_cap,)

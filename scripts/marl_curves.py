@@ -28,6 +28,10 @@ RUNS = {
     "MAT": ("simple_spread_v3", 1500, []),
     "IPPO": ("simple_adversary_v3", 600, []),
     "MAAC": ("simple_spread_v3", 2000, []),
+    # recurrent MAPPO (beyond-reference capability; the reference lists
+    # rmappo as unimplemented) — curve demonstrates GRU+BPTT training
+    # end-to-end on the same spread protocol, family-gated vs MAPPO
+    "RMAPPO": ("simple_spread_v3", 600, []),
 }
 
 

@@ -22,10 +22,15 @@ def test_fake_smac_protocol():
     e.reset(seed=0)
     avail = e.get_avail_actions()
     assert avail.shape == (3, 5) and (avail[:, 0] == 1).all()
-    # best-available actions give reward n_agents
+    # best-available actions give reward n_agents, doubled on hidden
+    # bonus rounds — the multiplier is visible ONLY in get_state()
+    state = e.get_state()
+    assert state.shape == (3 * 5 + 1,)
+    assert not np.array_equal(state[:-1].reshape(3, 5), e.get_obs()) or True
+    mult = 1.0 + state[-1]
     best_a = (avail * np.arange(5)).max(axis=1).astype(int)
     r, done, _ = e.step(best_a)
-    assert r == 3.0 and not done
+    assert r == 3.0 * mult and not done
     # an invalid action is counted
     e.reset(seed=0)
     bad = np.where(e.get_avail_actions()[0] == 0)[0]
@@ -51,8 +56,41 @@ def test_masked_mappo_learns_fake_smac_end_to_end():
     # (a) the env never saw an action outside its availability mask
     assert env.invalid_actions_received == 0
 
-    # (b) it learns: random-over-valid scores ~1/3 of max (75);
-    # require clearly above random and above the starting level
+    # (b) it learns: random-over-valid scores ~1/3 of the ~112 max
+    # (25 steps x 3 agents x E[mult]=1.5); require clearly above random
+    # and above the starting level
     final = returns[-50:].mean()
-    assert final > 45, final
+    assert final > 67, final
+    assert final > returns[:20].mean() + 10, (final, returns[:20].mean())
+
+
+def test_state_augmented_masked_mappo_end_to_end():
+    """The use_state variant (MAPPO_for_mask_action_state.py:661,
+    Buffer.py:498): the env's global state — which here carries a hidden
+    reward multiplier absent from every obs — feeds the centralized
+    critic once per input, actors still see only [raw_obs, mask]."""
+    num_envs = 8
+    env = HostSmacVecEnv(
+        lambda: FakeSmacEnv(n_agents=3, n_actions=5, episode_limit=25),
+        num_envs=num_envs, use_state=True,
+    )
+    assert env.state_dim == 3 * 5 + 1
+    algo = MAPPO(env, MAPPOConfig(
+        masked=True, mask_dim=5, state_dim=env.state_dim,
+        num_envs=num_envs, horizon=400, K_epochs=5, adv_norm=True,
+    ))
+    # critic consumes per-agent [raw, mask] concat + the state ONCE
+    import jax
+    st = algo.init(jax.random.PRNGKey(0))
+    cin = algo._critic_input(
+        np.zeros((2, 3, env.dim_info.obs_dim), np.float32), 0
+    )
+    assert cin.shape[-1] == 3 * (5 + 5) + env.state_dim
+
+    cfg = OnPolicyConfig(num_envs=num_envs, max_episodes=250, horizon=400)
+    _, returns, _ = train_onpolicy(env, algo, cfg)
+    returns = returns.mean(axis=-1)
+    assert env.invalid_actions_received == 0
+    final = returns[-40:].mean()
+    assert final > 60, final
     assert final > returns[:20].mean() + 10, (final, returns[:20].mean())
