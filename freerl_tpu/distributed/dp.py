@@ -386,6 +386,225 @@ def train_offpolicy_sharded(env: Env, algo, cfg, mesh: Mesh,
 
 
 # ---------------------------------------------------------------------------
+# production driver: sharded off-policy MARL (MADDPG / MATD3 / MASAC /
+# MAAC family)
+# ---------------------------------------------------------------------------
+def train_marl_sharded(env: Env, algo, cfg, mesh: Mesh,
+                       axis: str = "dp", on_chunk=None):
+    """Data-parallel twin of train/marl.py's ``train_marl``.
+
+    Same layout strategy as :func:`train_offpolicy_sharded` — per-device
+    env slices and shard-local replay rings, pmean-synced per-agent
+    learners (every agent's actor AND critic gradients reduce over
+    ``axis`` inside the algo's update; MADDPG/MASAC/MAAC already carry
+    the ``axis_name`` hook) — with the MARL carry shapes: obs
+    ``(N, A, O)``, per-agent rewards ``(N, A)``, episode records
+    ``(cap, A)``. The reference has no multi-agent scale-out at all
+    (single env, ``.to(device)`` — SURVEY §2.8); this covers BASELINE's
+    scale-out mandate for the MARL capability surface.
+    """
+    from freerl_tpu.algos.base import ExploreCtx
+    from freerl_tpu.train.marl import _example_transition as _marl_example
+
+    n_dev = mesh.devices.size
+    num_envs = cfg.num_envs
+    assert num_envs % n_dev == 0, (num_envs, n_dev)
+    envs_per_dev = num_envs // n_dev
+    A = env.n_agents
+    aname = getattr(algo.cfg, "axis_name", None)
+    assert aname == axis, (
+        f"algo config must carry axis_name={axis!r} so per-agent updates "
+        f"pmean-sync gradients (got {aname!r})"
+    )
+    record_cap = min(
+        cfg.max_episodes,
+        cfg.max_env_steps + cfg.chunk_size * num_envs,
+    ) + envs_per_dev + 1
+
+    key = jax.random.PRNGKey(cfg.seed)
+    k_algo, k_env, k_loop = jax.random.split(key, 3)
+    algo_state = algo.init(k_algo)
+    state_spec = _algo_state_specs(algo_state, P(axis), P())
+
+    def _shard_init(k):
+        me = jax.lax.axis_index(axis)
+        k = jax.random.fold_in(k, me)
+        env_state, obs = vec_reset(env, k, envs_per_dev)
+        buffer = algo.make_buffer(_marl_example(env),
+                                  num_envs=envs_per_dev)
+        buffer = jax.tree.map(lambda x: x[None], buffer)
+        return env_state, obs, buffer
+
+    with mesh:
+        env_state, obs, buffer = jax.jit(shard_map(
+            _shard_init, mesh=mesh, in_specs=P(), out_specs=P(axis),
+            check_rep=False,
+        ))(k_env)
+
+    carry = dict(
+        algo_state=algo_state,
+        buffer=buffer,
+        env_state=env_state,
+        obs=obs,
+        key=k_loop,
+        ep_return=jnp.zeros((num_envs, A), jnp.float32),
+        done_prev=jnp.zeros((num_envs,), jnp.bool_),
+        ep_counter=jnp.zeros((n_dev,), jnp.int32),
+        episode_returns=jnp.zeros((n_dev, record_cap, A), jnp.float32),
+        episode_steps=jnp.full((n_dev, record_cap), jnp.int32(2**30)),
+        total_steps=jnp.int32(0),
+        update_count=jnp.int32(0),
+    )
+
+    def step_fn(c, _):
+        k, k_base = jax.random.split(c["key"])
+        me = jax.lax.axis_index(axis)
+        kk = jax.random.fold_in(k_base, me)
+        k_act, k_step, k_learn = jax.random.split(kk, 3)
+        total_env_steps = c["total_steps"] * num_envs
+
+        ctx = ExploreCtx(
+            total_env_steps=total_env_steps,
+            episodes=jnp.sum(c["ep_counter"]),
+            done_prev=c["done_prev"],
+            random_steps=cfg.random_steps,
+        )
+        algo_state, action = algo.explore(
+            c["algo_state"], c["obs"], k_act, ctx
+        )
+        env_action = (
+            (action + 1.0) / 2.0 if env.dim_info.is_continue else action
+        )
+        out = vec_step_auto_reset(env, c["env_state"], env_action, k_step,
+                                  envs_per_dev)
+        trans = Transition(
+            obs=c["obs"], action=action, reward=out.reward,
+            next_obs=out.next_obs, done=out.terminated,
+            episode_done=out.episode_done,
+        )
+        buffer = jax.tree.map(lambda x: x[0], c["buffer"]).add(trans)
+
+        ret = c["ep_return"] + out.reward                  # (N_dev, A)
+        dones = out.episode_done
+        n_count = c["ep_counter"][0]
+        offs = jnp.cumsum(dones.astype(jnp.int32)) - 1
+        slot = jnp.where(dones, n_count + offs, record_cap)
+        episode_returns = c["episode_returns"][0].at[slot].set(
+            ret, mode="drop"
+        )
+        episode_steps = c["episode_steps"][0].at[slot].set(
+            c["total_steps"], mode="drop"
+        )
+        ep_counter = n_count + jnp.sum(dones.astype(jnp.int32))
+        ep_return = jnp.where(dones[:, None], 0.0, ret)
+
+        total_steps = c["total_steps"] + 1
+        do_learn = (total_steps * num_envs) > cfg.start_steps
+
+        def burst(args):
+            s, b, kb = args
+
+            def one(i, acc):
+                s, b = acc
+                s, b, _ = algo.learn_step(
+                    s, b, jax.random.fold_in(kb, i), envs_per_dev
+                )
+                return (s, b)
+
+            return jax.lax.fori_loop(0, cfg.updates_per_burst, one, (s, b))
+
+        algo_state, buffer = jax.lax.cond(
+            do_learn, burst, lambda a: (a[0], a[1]),
+            (algo_state, buffer, k_learn),
+        )
+        update_count = c["update_count"] + jnp.where(
+            do_learn, cfg.updates_per_burst, 0
+        )
+        new_c = dict(
+            algo_state=algo_state,
+            buffer=jax.tree.map(lambda x: x[None], buffer),
+            env_state=out.state,
+            obs=out.carry_obs,
+            key=k,
+            ep_return=ep_return,
+            done_prev=dones,
+            ep_counter=ep_counter[None],
+            episode_returns=episode_returns[None],
+            episode_steps=episode_steps[None],
+            total_steps=total_steps,
+            update_count=update_count,
+        )
+        return new_c, None
+
+    def _shard_chunk(c):
+        c, _ = jax.lax.scan(step_fn, c, None, length=cfg.chunk_size)
+        return c
+
+    rep = P()
+    dev = P(axis)
+    spec = dict(
+        algo_state=state_spec, buffer=dev, env_state=dev, obs=dev,
+        key=rep, ep_return=dev, done_prev=dev, ep_counter=dev,
+        episode_returns=dev, episode_steps=dev, total_steps=rep,
+        update_count=rep,
+    )
+    sharded_chunk = shard_map(
+        _shard_chunk, mesh=mesh,
+        in_specs=(spec,), out_specs=spec, check_rep=False,
+    )
+
+    @partial(jax.jit, donate_argnums=0)
+    def run_chunk(cd):
+        return sharded_chunk(cd)
+
+    carry_d = jax.tree.map(jnp.copy, carry)
+    t0 = time.time()
+    chunk_i = 0
+    with mesh:
+        while True:
+            carry_d = run_chunk(carry_d)
+            chunk_i += 1
+            n_eps = int(jnp.sum(carry_d["ep_counter"]))
+            n_steps = int(carry_d["total_steps"]) * num_envs
+            if on_chunk is not None and chunk_i % cfg.log_every_chunks == 0:
+                on_chunk(chunk_i, n_eps, n_steps, carry_d)
+            if (cfg.checkpoint_dir and cfg.checkpoint_every
+                    and chunk_i % cfg.checkpoint_every == 0):
+                from freerl_tpu.train.runio import save_checkpoint
+
+                save_checkpoint(f"{cfg.checkpoint_dir}/ckpt",
+                                carry_d["algo_state"])
+            if n_eps >= cfg.max_episodes or n_steps >= cfg.max_env_steps:
+                break
+    elapsed = time.time() - t0
+
+    # merge per-device chronological records by completion vector-step
+    counts = np.asarray(carry_d["ep_counter"])
+    rets = np.asarray(carry_d["episode_returns"])     # (n_dev, cap, A)
+    steps = np.asarray(carry_d["episode_steps"])
+    rows, vals = [], []
+    for d in range(n_dev):
+        n = int(counts[d])
+        rows.append(np.stack([steps[d, :n], np.full(n, d)], axis=1))
+        vals.append(rets[d, :n])
+    merged = np.concatenate(rows, axis=0) if rows else np.zeros((0, 2))
+    vals = np.concatenate(vals, axis=0) if vals else np.zeros((0, A))
+    order = np.lexsort((merged[:, 1], merged[:, 0]))
+    returns = vals[order][: cfg.max_episodes]
+
+    n_steps = int(carry_d["total_steps"]) * num_envs
+    info = {
+        "elapsed_s": elapsed,
+        "env_steps": n_steps,
+        "updates": int(carry_d["update_count"]),
+        "env_steps_per_s": n_steps / max(elapsed, 1e-9),
+        "episodes": int(counts.sum()),
+        "n_devices": n_dev,
+    }
+    return carry_d["algo_state"], returns.astype(np.float32), info
+
+
+# ---------------------------------------------------------------------------
 # production driver: sharded on-policy (PPO / MAPPO family)
 # ---------------------------------------------------------------------------
 def train_onpolicy_sharded(env: Env, algo, cfg, mesh: Mesh,
@@ -405,7 +624,14 @@ def train_onpolicy_sharded(env: Env, algo, cfg, mesh: Mesh,
     by completion step as :func:`train_offpolicy_sharded`, so artifacts
     are format-compatible with the single-device driver's.
 
-    Recurrent policies (algos/rmappo.py) are not supported sharded.
+    Recurrent policies (algos/rmappo.py) are an explicit non-goal for
+    the sharded drivers (decided r4): their update samples EPISODE
+    CHUNKS for truncated BPTT rather than flat minibatches, so the DP
+    semantics differ (per-device chunk boundaries vs the global
+    chronological episode order), and the reference has no recurrent
+    MARL at all to set parity expectations. The per-env GRU carries
+    would shard cleanly with the env axis if this is ever revisited —
+    the blocker is the episode-chunk minibatch layout, not the state.
     """
     n_dev = mesh.devices.size
     num_envs = cfg.num_envs

@@ -327,6 +327,16 @@ SPECS: List[GoldenSpec] = [
         note="train_offpolicy_sharded on 8-device mesh (dp_scaling.py)",
     ),
     GoldenSpec(
+        # 8-device sharded MARL driver curve (train_marl_sharded):
+        # MADDPG spread on the 8-way CPU mesh, gated against the
+        # reference's own MADDPG curve like the single-device row
+        # (scripts/dp_scaling.py regenerates).
+        "simple_spread_v3", "MADDPG_dp8_1_seed",
+        "MADDPG_file/learning_curves/simple_spread_v3/MADDPG_1_seed.npy",
+        slack=5.0, floor=-25.0,
+        note="train_marl_sharded on 8-device mesh (dp_scaling.py)",
+    ),
+    GoldenSpec(
         # recurrent MAPPO (GRU + truncated BPTT — beyond-reference: the
         # reference lists rmappo as unimplemented). Family-gated vs the
         # reference's MAPPO spread curve like HAPPO/MAT.

@@ -73,8 +73,20 @@ def _example_transition(env: Env) -> Transition:
 
 
 def train_marl(env: Env, algo, cfg: MARLConfig,
-               on_chunk: Optional[Callable] = None):
-    """Returns (algo_state, episode_returns (E, n_agents), info)."""
+               on_chunk: Optional[Callable] = None, mesh=None):
+    """Returns (algo_state, episode_returns (E, n_agents), info).
+
+    With ``mesh`` (a jax.sharding.Mesh), the loop runs data-parallel via
+    distributed/dp.py's :func:`train_marl_sharded`: per-device env
+    slices + replay shards, per-agent learners pmean-synced (the algo's
+    config must carry ``axis_name`` matching the mesh axis).
+    """
+    if mesh is not None:
+        from freerl_tpu.distributed.dp import train_marl_sharded
+
+        return train_marl_sharded(env, algo, cfg, mesh,
+                                  axis=mesh.axis_names[0],
+                                  on_chunk=on_chunk)
     num_envs = cfg.num_envs
     A = env.n_agents
     # an episode costs >=1 env step, so the record never needs more

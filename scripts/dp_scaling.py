@@ -102,6 +102,32 @@ def main() -> int:
         ))
         print(on_rows[-1], flush=True)
 
+    # MARL twin: MADDPG through train_marl(mesh=) at every size
+    from freerl_tpu.algos.maddpg import MADDPG, MADDPGConfig
+    from freerl_tpu.train.marl import MARLConfig, train_marl
+
+    menv = make("simple_spread_v3")
+    marl_rows = []
+    for n_dev in (1, 2, 4, 8):
+        if n_dev > jax.device_count():
+            break
+        nenv = max(args.envs_per_device // 4, 2) * n_dev
+        maddpg = MADDPG(menv, MADDPGConfig(
+            buffer_size=20_000, batch_size=64, axis_name="dp"))
+        mcfg = MARLConfig(
+            num_envs=nenv, max_episodes=10**9,
+            max_env_steps=nenv * args.steps // 8,
+            start_steps=500, chunk_size=64,
+        )
+        _, _, info = train_marl(menv, maddpg, mcfg, mesh=make_mesh(n_dev))
+        marl_rows.append(dict(
+            n_devices=n_dev, num_envs=nenv,
+            env_steps=info["env_steps"],
+            env_steps_per_s=round(info["env_steps_per_s"], 1),
+            updates=info["updates"],
+        ))
+        print(marl_rows[-1], flush=True)
+
     # one full learning curve through the 8-device sharded path
     algo = DQN(env.dim_info, DQNConfig(
         buffer_size=20_000, batch_size=64, axis_name="dp"))
@@ -114,6 +140,20 @@ def main() -> int:
     np.save(os.path.join(out_dir, "DQN_dp8_1_seed.npy"), curve)
     print("dp8 curve final-30:", float(curve[-30:].mean()), flush=True)
 
+    # and a sharded MADDPG spread curve on the 8-device mesh
+    maddpg = MADDPG(menv, MADDPGConfig(
+        buffer_size=20_000, batch_size=64, axis_name="dp"))
+    mcfg = MARLConfig(num_envs=16, max_episodes=600, start_steps=500,
+                      updates_per_burst=2, chunk_size=64)
+    _, mcurve, minfo = train_marl(menv, maddpg, mcfg, mesh=make_mesh(
+        min(8, jax.device_count())))
+    out_dir = os.path.join("results", "learning_curves", "simple_spread_v3")
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "MADDPG_dp8_1_seed.npy"),
+            mcurve.mean(axis=-1)[None])
+    print("maddpg dp8 curve final-50:",
+          float(mcurve.mean(axis=-1)[-50:].mean()), flush=True)
+
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump({
@@ -121,7 +161,11 @@ def main() -> int:
             "virtual_devices": bool(args.cpu),
             "sweep": rows,
             "onpolicy_sweep": on_rows,
+            "marl_sweep": marl_rows,
             "dp8_curve_final30": float(curve[-30:].mean()),
+            "maddpg_dp8_curve_final50": float(
+                mcurve.mean(axis=-1)[-50:].mean()
+            ),
         }, f, indent=2)
     print("wrote", args.out, flush=True)
     return 0
