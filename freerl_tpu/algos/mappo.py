@@ -258,6 +258,13 @@ class MAPPO:
         self.tx = optax.inject_hyperparams(optax.adam)(
             learning_rate=cfg.actor_lr, eps=eps
         )
+        # homogeneous agent dims allow the stacked (vmap-over-agents)
+        # actor/critic fast paths in sample_action/update
+        self._stackable = (
+            not cfg.attention
+            and len(set(self.obs_dims)) == 1
+            and len(set(self.act_dims)) == 1
+        )
 
     # ------------------------------------------------------------------
     def _agent_obs(self, obs, i):
@@ -368,6 +375,8 @@ class MAPPO:
 
     def sample_action(self, state: MAPPOState, obs, key):
         """obs (..., A, O_pad) -> (env_action, stored, logp (..., A))."""
+        if self._stackable:
+            return self._sample_action_stacked(state, obs, key)
         env_as, stored, logps = [], [], []
         for i in range(self.n_agents):
             k = jax.random.fold_in(key, i)
@@ -393,6 +402,36 @@ class MAPPO:
             logps.append(logp)
         stack = lambda xs: jnp.stack(xs, axis=-2 if self.is_continue else -1)
         return stack(env_as), stack(stored), jnp.stack(logps, axis=-1)
+
+    def _sample_action_stacked(self, state: MAPPOState, obs, key):
+        """Homogeneous-dims fast path: all A actor passes as one batched
+        matmul per layer (vmap over stacked params), same per-agent
+        fold_in keys as the loop path."""
+        A = self.n_agents
+        a_stack = jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *state.actor_params)
+        keys = jnp.stack([jax.random.fold_in(key, i) for i in range(A)])
+        aobs = jnp.stack([self._actor_obs(obs, i) for i in range(A)])
+
+        def one(params, obs_i, k):
+            out = self.actors[0].apply({"params": params}, obs_i)
+            if not self.is_continue:
+                if self.cfg.masked:
+                    out = D.masked_logits(
+                        out, obs_i[..., -self.cfg.mask_dim:]
+                    )
+                a = jax.random.categorical(k, out)
+                return a, a, D.categorical_log_prob(out, a)
+            mean, log_std = out
+            std = jnp.exp(log_std)
+            a = D.normal_sample(k, mean, std)
+            logp = D.normal_log_prob(mean, std, a)
+            return jnp.clip(a, -1.0, 1.0), a, logp
+
+        env_a, stored, logp = jax.vmap(one)(a_stack, aobs, keys)
+        ax = -2 if self.is_continue else -1
+        mv = lambda x: jnp.moveaxis(x, 0, ax)
+        return mv(env_a), mv(stored), jnp.moveaxis(logp, 0, -1)
 
     def evaluate_action(self, state: MAPPOState, obs):
         # offline eval feeds RAW observations (eval.py); with ObsNorm the
@@ -449,6 +488,13 @@ class MAPPO:
         mb = min(cfg.minibatch_size, B)
         n_mb = B // mb
 
+        # stacked-agent fast path (TPU: one batched matmul per layer for
+        # all agents instead of A small ones — the per-agent python loop
+        # was the measured MARL update bottleneck): legal whenever agent
+        # dims are homogeneous, since every agent's loss touches only its
+        # own params (MAPPO updates agents simultaneously, unlike HAPPO)
+        use_stacked = self._stackable
+
         # per-agent values over the joint (or own) obs
         if cfg.attention:
             vs = self.att_critics.apply(
@@ -462,6 +508,31 @@ class MAPPO:
                     (-1, A, rollout.next_obs.shape[-1])
                 )),
             ).reshape(T, N, A)
+        elif use_stacked:
+            c_stacked = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *state.critic_params
+            )
+            if cfg.independent:
+                cin = jnp.stack(
+                    [self._critic_input(rollout.obs, i) for i in range(A)]
+                )
+                cin_next = jnp.stack([
+                    self._critic_input(rollout.next_obs, i)
+                    for i in range(A)
+                ])
+                in_ax = (0, 0)
+            else:
+                # the centralized critic input is identical for every
+                # agent — broadcast it, vmap over params only
+                cin = self._critic_input(rollout.obs, 0)
+                cin_next = self._critic_input(rollout.next_obs, 0)
+                in_ax = (0, None)
+            apply_v = jax.vmap(
+                lambda p, x: self.critics[0].apply({"params": p}, x),
+                in_axes=in_ax,
+            )
+            vs = jnp.moveaxis(apply_v(c_stacked, cin), 0, -1)  # (T, N, A)
+            vs_next = jnp.moveaxis(apply_v(c_stacked, cin_next), 0, -1)
         else:
             vs = jnp.stack([
                 self.critics[i].apply(
@@ -519,6 +590,12 @@ class MAPPO:
             )
         else:
             frac = 1.0
+
+        if use_stacked:
+            return self._update_stacked(
+                state, cfg, A, B, mb, n_mb, obs_f, act_f, logp_old_f,
+                adv_f, vt_f, frac, key,
+            )
 
         actor_params = list(state.actor_params)
         critic_params = list(state.critic_params)
@@ -619,6 +696,140 @@ class MAPPO:
             actor_params=tuple(actor_params),
             critic_params=tuple(critic_params),
             opt_states=tuple(opt_states),
+            step=state.step + 1,
+        )
+        return new_state, {"adv_mean": jnp.mean(adv_f)}
+
+    # ------------------------------------------------------------------
+    def _update_stacked(self, state, cfg, A, B, mb, n_mb, obs_f, act_f,
+                        logp_old_f, adv_f, vt_f, frac, key):
+        """vmapped-over-agents K-epoch minibatch optimization.
+
+        Numerically the same per-agent computation as the loop path
+        (same losses, same per-agent permutation keys, same Adam), but
+        every actor/critic pass runs as ONE batched matmul per layer
+        across the agent axis — the per-agent python loop issued 2*A
+        small matmuls per layer, which profiling showed dominating the
+        MARL update phase on TPU shapes.
+        """
+        stack = lambda trees: jax.tree.map(
+            lambda *xs: jnp.stack(xs), *trees
+        )
+        a_stack = stack(state.actor_params)
+        c_stack = stack(state.critic_params)
+        o_stack = stack(state.opt_states)
+        keys = jnp.stack(
+            [jax.random.fold_in(key, i) for i in range(A)]
+        )
+        aobs = jnp.stack(
+            [self._actor_obs(obs_f, i) for i in range(A)]
+        )                                              # (A, B, O')
+        if self.is_continue:
+            acts = jnp.moveaxis(
+                act_f[..., : self.act_dims[0]], 1, 0
+            )                                          # (A, B, act)
+        else:
+            acts = jnp.moveaxis(act_f, 1, 0)           # (A, B)
+        lps = jnp.moveaxis(logp_old_f, 1, 0)           # (A, B)
+        if cfg.independent:
+            cin = jnp.stack(
+                [self._critic_input(obs_f, i) for i in range(A)]
+            )
+            adv_pa = jnp.moveaxis(adv_f, 1, 0)         # (A, B)
+            vt_pa = jnp.moveaxis(vt_f, 1, 0)
+            cin_ax = adv_ax = 0
+        else:
+            cin = self._critic_input(obs_f, 0)         # (B, D) shared
+            adv_pa, vt_pa = adv_f, vt_f                # (B, A) broadcast
+            cin_ax = adv_ax = None
+
+        def run_agent(aparams, cparams, opt_state, obs_a, act_a, lp_a,
+                      cin_a, adv_a, vt_a, k):
+            def loss_fn(params, idx):
+                logp, ent = self._logp_ent(
+                    params["actor"], obs_a[idx], act_a[idx], 0
+                )
+                ratio = jnp.exp(logp - lp_a[idx])
+                adv_i = adv_a[idx]
+                if not cfg.independent:
+                    ratio = ratio[:, None]             # joint broadcast
+                surr1 = ratio * adv_i
+                surr2 = jnp.clip(
+                    ratio, 1 - cfg.clip_param, 1 + cfg.clip_param
+                ) * adv_i
+                actor_loss = -jnp.mean(jnp.minimum(surr1, surr2)) - (
+                    cfg.entropy_coefficient * jnp.mean(ent)
+                )
+                v = self.critics[0].apply(
+                    {"params": params["critic"]}, cin_a[idx]
+                )
+                vt = vt_a[idx]
+                if not cfg.independent:
+                    v = v[:, None]                     # repeat over agents
+                if cfg.value_clip:
+                    vt_clip = jnp.clip(
+                        vt, v - cfg.clip_param, v + cfg.clip_param
+                    )
+                    if cfg.huber_loss:
+                        c1 = jnp.mean(huber_fn(vt - v, cfg.huber_delta))
+                        c2 = jnp.mean(
+                            huber_fn(vt_clip - v, cfg.huber_delta)
+                        )
+                    else:
+                        c1 = jnp.mean(jnp.square(vt - v))
+                        c2 = jnp.mean(jnp.square(vt_clip - v))
+                    critic_loss = jnp.maximum(c1, c2)
+                elif cfg.huber_loss:
+                    critic_loss = jnp.mean(
+                        huber_fn(vt - v, cfg.huber_delta)
+                    )
+                else:
+                    critic_loss = jnp.mean(jnp.square(vt - v))
+                return actor_loss + critic_loss
+
+            def epoch_body(e, carry):
+                params, opt_state, k = carry
+                k, k_perm = jax.random.split(k)
+                perm = jax.random.permutation(k_perm, B)
+
+                def mb_body(m, inner):
+                    params, opt_state = inner
+                    idx = jax.lax.dynamic_slice_in_dim(perm, m * mb, mb)
+                    grads = jax.grad(loss_fn)(params, idx)
+                    if cfg.axis_name is not None:
+                        grads = jax.lax.pmean(grads, cfg.axis_name)
+                    opt_state.hyperparams["learning_rate"] = (
+                        cfg.actor_lr * frac
+                    )
+                    updates, opt_state = self.tx.update(
+                        grads, opt_state, params
+                    )
+                    return optax.apply_updates(params, updates), opt_state
+
+                params, opt_state = jax.lax.fori_loop(
+                    0, n_mb, mb_body, (params, opt_state)
+                )
+                return params, opt_state, k
+
+            params = {"actor": aparams, "critic": cparams}
+            params, opt_state, _ = jax.lax.fori_loop(
+                0, cfg.K_epochs, epoch_body, (params, opt_state, k)
+            )
+            return params["actor"], params["critic"], opt_state
+
+        new_a, new_c, new_o = jax.vmap(
+            run_agent,
+            in_axes=(0, 0, 0, 0, 0, 0, cin_ax, adv_ax, adv_ax, 0),
+        )(a_stack, c_stack, o_stack, aobs, acts, lps, cin, adv_pa,
+          vt_pa, keys)
+
+        unstack = lambda t: tuple(
+            jax.tree.map(lambda x: x[i], t) for i in range(A)
+        )
+        new_state = state.replace(
+            actor_params=unstack(new_a),
+            critic_params=unstack(new_c),
+            opt_states=unstack(new_o),
             step=state.step + 1,
         )
         return new_state, {"adv_mean": jnp.mean(adv_f)}
