@@ -233,6 +233,11 @@ SPECS: List[GoldenSpec] = [
         # measured deficit is 3.9 (86.0 vs 89.9) on a ~90-scale return;
         # 5.0 bounds it without the old 10-point blank check
         slack=5.0, note="OU-noise supplement variant (ours 86.0)",
+        regen=("--algo", "DDPG", "--env_name", "MountainCarContinuous-v0",
+               "--max_episodes", "500", "--num_envs", "8",
+               "--batch_size", "64", "--trick", "OUNoise",
+               "--seed", "{seed}"),
+        regen_seeds=(0, 10, 100),
     ),
     GoldenSpec(
         "simple_spread_v3", "MADDPG_1_seed",
