@@ -48,6 +48,11 @@ class DQNConfig:
     double: bool = False
     dueling: bool = False
     per: bool = False
+    # PER sampling backend: 'tree' (sum-tree descent; + use_pallas
+    # routing) or 'cumsum' (dense inverse-CDF — fewer ops on the
+    # latency-bound loop; identical sampling distribution, see
+    # buffers/per.py). Benchable via scripts/per_bench.py.
+    per_sampler: str = "tree"
     noisy: bool = False
     n_step: int = 1          # >1 enables the N_Step trick
     categorical: bool = False
@@ -330,7 +335,8 @@ class DQN(OffPolicyAlgo):
         if self.cfg.per:
             # PER rounds capacity to the next power of two itself, so the
             # usual power-of-two env batches stay slice-aligned.
-            return PERBuffer.create(self.cfg.buffer_size, example)
+            return PERBuffer.create(self.cfg.buffer_size, example,
+                                    sampler=self.cfg.per_sampler)
         return ReplayBuffer.create(
             self.cfg.buffer_size, example, add_batch=num_envs
         )

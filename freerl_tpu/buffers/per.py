@@ -48,12 +48,25 @@ class PERBuffer:
     # route the descent through the Pallas MXU-lookup kernel
     # (freerl_tpu/ops/sumtree_pallas.py; ~20% faster on TPU)
     use_pallas: bool = struct.field(pytree_node=False, default=False)
+    # sampling backend:
+    #   'tree'   — sum-tree descent (reference-shaped structure; XLA or
+    #              Pallas per ``use_pallas``), ancestors rebuilt on every
+    #              priority write: ~2*depth scatter rounds per write plus
+    #              depth gather rounds per sample — ~60 tiny ops on a
+    #              latency-bound loop;
+    #   'cumsum' — the TPU-native inverse-CDF: leaves only, one dense
+    #              ``cumsum`` + vectorized ``searchsorted`` per sample and
+    #              a single scatter per priority write. EXACTLY the same
+    #              sampling distribution (both invert the same prefix-sum
+    #              in leaf order; tested bit-identical on shared u's).
+    sampler: str = struct.field(pytree_node=False, default="tree")
 
     # ------------------------------------------------------------------
     @classmethod
     def create(cls, capacity: int, example: Transition, alpha: float = 0.5,
                beta: float = 0.4, beta_increment: float = 1e-3,
-               eps: float = 0.01, use_pallas: bool = False) -> "PERBuffer":
+               eps: float = 0.01, use_pallas: bool = False,
+               sampler: str = "tree") -> "PERBuffer":
         cap = _next_pow2(capacity)
         data = jax.tree.map(
             lambda x: jnp.zeros((cap,) + jnp.shape(x), jnp.asarray(x).dtype),
@@ -73,12 +86,16 @@ class PERBuffer:
             beta_increment=beta_increment,
             eps=eps,
             use_pallas=use_pallas,
+            sampler=sampler,
         )
 
     # ------------------------------------------------------------------
     def _set_leaves(self, idx: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-        """Set leaf priorities and exactly rebuild all touched ancestors."""
+        """Set leaf priorities; for the tree sampler also exactly rebuild
+        all touched ancestors (the cumsum sampler never reads them)."""
         tree = self.tree.at[self.capacity + idx].set(p)
+        if self.sampler == "cumsum":
+            return tree
         nodes = self.capacity + idx
         for _ in range(self.depth):
             nodes = nodes // 2
@@ -103,11 +120,18 @@ class PERBuffer:
     # ------------------------------------------------------------------
     def sample_idx(self, key: jax.Array, batch_size: int):
         """Stratified descent. Returns (new_state, idx, is_weights)."""
-        total = self.tree[1]
+        leaves = self.tree[self.capacity:]
+        total = (jnp.sum(leaves) if self.sampler == "cumsum"
+                 else self.tree[1])
         u = (jnp.arange(batch_size) + jax.random.uniform(key, (batch_size,))) * (
             total / batch_size
         )
-        if self.use_pallas:
+        if self.sampler == "cumsum":
+            cdf = jnp.cumsum(leaves)
+            idx = jnp.clip(
+                jnp.searchsorted(cdf, u, side="left"), 0, self.capacity - 1
+            ).astype(jnp.int32)
+        elif self.use_pallas:
             from freerl_tpu.ops.sumtree_pallas import sumtree_descend
 
             idx = sumtree_descend(self.tree, u, self.depth, self.capacity)

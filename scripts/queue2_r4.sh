@@ -48,7 +48,15 @@ step_ounoise() {
   say "ounoise rc=$?"
 }
 
+step_per() {
+  gate per || return
+  say "per_bench.py (tree vs pallas vs cumsum samplers)"
+  timeout 1800 python scripts/per_bench.py >> "$LOG" 2>&1
+  say "per_bench rc=$?"
+}
+
 step_bench
 step_profile
+step_per
 step_ounoise
 say "queue2_r4 done"
