@@ -21,7 +21,9 @@ def test_golden_curves_hold():
     pending = [r for r in rows if r["status"] == "pending"]
     for r in pending:
         print(f"PENDING golden: {r['env']}/{r['algo']} — {r['note']}")
-    assert len(rows) == len(SPECS)
+    # check_all appends the scalar gates (summary-metric claims like the
+    # GAIL eval) after the curve specs
+    assert len(rows) == len(SPECS) + len(golden.SCALAR_GATES)
 
 
 def test_golden_regenerate_from_scratch(tmp_path, monkeypatch):
