@@ -88,7 +88,26 @@ def build(args):
         args.algo in MARL_ON and args.discrete_actions
     ):
         env_kwargs["continuous_actions"] = False
-    env = make(args.env_name, dis_to_con=args.dis_to_con, **env_kwargs)
+    if args.env_name == "fake-smac" or args.env_name.startswith("smac:"):
+        # SMAC-protocol route (reference MAPPO_for_mask_action[_state].py):
+        # 'fake-smac' = the instrumented protocol toy; 'smac:<module>:<fn>'
+        # = a real SMACv2 constructor on machines that have the binary.
+        # --use_state feeds env.get_state() to the centralized critic.
+        from freerl_tpu.envs.smac import FakeSmacEnv, HostSmacVecEnv
+
+        if args.env_name == "fake-smac":
+            make_fn = FakeSmacEnv
+        else:
+            import importlib
+
+            modpath, fn = args.env_name[5:].rsplit(":", 1)
+            make_fn = getattr(importlib.import_module(modpath), fn)
+        env = HostSmacVecEnv(
+            make_fn, num_envs=args.num_envs,
+            use_state=getattr(args, "use_state", False),
+        )
+    else:
+        env = make(args.env_name, dis_to_con=args.dis_to_con, **env_kwargs)
     # getattr: config.json files from runs predating this flag (and test
     # namespaces) lack the key
     if getattr(args, "fixed_reset", False):
@@ -168,8 +187,15 @@ def build(args):
             if a == "RIPPO":
                 return env, algos.RIPPO(env, rcfg)
             return env, algos.RMAPPO(env, rcfg)
+        mask_kw = {}
+        if hasattr(env, "n_actions") and hasattr(env, "use_state"):
+            # SMAC-protocol env: mask rides the obs tail; state (when
+            # use_state) sits between raw obs and mask
+            mask_kw = dict(masked=True, mask_dim=env.n_actions,
+                           state_dim=getattr(env, "state_dim", 0))
         cfg = _apply_tricks(
-            algos.MAPPOConfig(num_envs=n_envs, horizon=args.horizon),
+            algos.MAPPOConfig(num_envs=n_envs, horizon=args.horizon,
+                              **mask_kw),
             args.trick, _MAPPO_TRICKS, a,
         )
         if a == "IPPO":
@@ -202,6 +228,9 @@ def run(argv=None):
                    help="pin every episode reset to one start state "
                         "(the reference's env.reset(seed=seed) loop)")
     p.add_argument("--discrete_actions", action="store_true")
+    p.add_argument("--use_state", action="store_true",
+                   help="SMAC-protocol envs: feed env.get_state() to the "
+                        "centralized critic (MAPPO_for_mask_action_state)")
     p.add_argument("--results_root", default="results")
     p.add_argument("--no_tensorboard", action="store_true")
     p.add_argument("--lr", type=float, default=1e-3,

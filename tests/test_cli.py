@@ -122,3 +122,20 @@ def test_eval_cli_config_roundtrip(tmp_path):
     rc = eval_main(["--model_dir", out_dir, "--n_episodes", "4", "--no_gif"])
     assert rc == 0
     assert os.path.exists(os.path.join(out_dir, "evaluate.png"))
+
+
+def test_cli_fake_smac_masked_state_route(tmp_path):
+    """--env_name fake-smac --use_state drives the masked+state MAPPO
+    stack end-to-end through the public CLI (the reference's
+    MAPPO_for_mask_action_state.py entry point equivalent)."""
+    from freerl_tpu.cli import run as cli_run
+
+    run_dir = cli_run([
+        "--algo", "MAPPO", "--env_name", "fake-smac", "--use_state",
+        "--max_episodes", "16", "--num_envs", "4", "--horizon", "100",
+        "--results_root", str(tmp_path), "--no_tensorboard",
+    ])
+    import numpy as np
+    import os
+    curve = np.load(os.path.join(run_dir, "MAPPO_seed_0.npy"))
+    assert np.isfinite(curve).all() and len(curve) >= 16
