@@ -118,6 +118,45 @@ def main():
         os.environ.setdefault("BENCH_SKIP_EXTRA", "1")
         global NUM_ENVS
         NUM_ENVS = min(NUM_ENVS, 512)
+    sps, elapsed = bench_dqn(
+        bf16_replay=bool(os.environ.get("BENCH_BF16_REPLAY"))
+    )
+
+    extra = {}
+    if not os.environ.get("BENCH_SKIP_EXTRA"):
+        try:
+            extra["ppo_pendulum_env_steps_per_s"] = round(bench_ppo(), 1)
+            extra["mappo_simple_spread_env_steps_per_s"] = round(
+                bench_mappo(), 1
+            )
+            # halved-HBM replay variant of the headline loop
+            bf16_sps, _ = bench_dqn(bf16_replay=True)
+            extra["dqn_bf16_replay_env_steps_per_s"] = round(bf16_sps, 1)
+        except Exception as e:  # extras must never sink the headline
+            extra["error"] = repr(e)
+
+    metric = "dqn_lunarlander_env_steps_per_s"
+    if cpu_fallback:
+        metric += "_CPU_FALLBACK_tpu_tunnel_down"
+    print(json.dumps({
+        "metric": metric,
+        "value": round(sps, 1),
+        "unit": "env_steps/s",
+        # BASELINE_STEPS_PER_S is a TPU target: a CPU-fallback ratio
+        # against it is meaningless, so report null rather than a number
+        # downstream tooling could misread
+        "vs_baseline": (None if cpu_fallback
+                        else round(sps / BASELINE_STEPS_PER_S, 3)),
+        "extra": extra,
+    }))
+    print(
+        f"# backend={jax.default_backend()} num_envs={NUM_ENVS} "
+        f"chunk={CHUNK} updates/vecstep=1 elapsed={elapsed:.2f}s",
+        file=sys.stderr,
+    )
+
+
+def bench_dqn(bf16_replay: bool = False):
     from freerl_tpu.algos.dqn import DQN, DQNConfig
     from freerl_tpu.buffers.uniform import ReplayBuffer  # noqa: F401
     from freerl_tpu.core.types import Transition
@@ -127,7 +166,7 @@ def main():
     algo = DQN(
         env.dim_info,
         DQNConfig(buffer_size=1_000_000, batch_size=256,
-                  bf16_replay=bool(os.environ.get("BENCH_BF16_REPLAY"))),
+                  bf16_replay=bf16_replay),
     )
     key = jax.random.PRNGKey(0)
     k_algo, k_env, k_loop = jax.random.split(key, 3)
@@ -188,37 +227,7 @@ def main():
     elapsed = time.time() - t0
 
     steps = MEASURE_CHUNKS * CHUNK * NUM_ENVS
-    sps = steps / elapsed
-
-    extra = {}
-    if not os.environ.get("BENCH_SKIP_EXTRA"):
-        try:
-            extra["ppo_pendulum_env_steps_per_s"] = round(bench_ppo(), 1)
-            extra["mappo_simple_spread_env_steps_per_s"] = round(
-                bench_mappo(), 1
-            )
-        except Exception as e:  # extras must never sink the headline
-            extra["error"] = repr(e)
-
-    metric = "dqn_lunarlander_env_steps_per_s"
-    if cpu_fallback:
-        metric += "_CPU_FALLBACK_tpu_tunnel_down"
-    print(json.dumps({
-        "metric": metric,
-        "value": round(sps, 1),
-        "unit": "env_steps/s",
-        # BASELINE_STEPS_PER_S is a TPU target: a CPU-fallback ratio
-        # against it is meaningless, so report null rather than a number
-        # downstream tooling could misread
-        "vs_baseline": (None if cpu_fallback
-                        else round(sps / BASELINE_STEPS_PER_S, 3)),
-        "extra": extra,
-    }))
-    print(
-        f"# backend={jax.default_backend()} num_envs={NUM_ENVS} "
-        f"chunk={CHUNK} updates/vecstep=1 elapsed={elapsed:.2f}s",
-        file=sys.stderr,
-    )
+    return steps / elapsed, elapsed
 
 
 if __name__ == "__main__":
