@@ -31,4 +31,15 @@ if _os.environ.get("FREERL_PLATFORM"):
 
     _jax.config.update("jax_platforms", _os.environ["FREERL_PLATFORM"])
 
+if _os.environ.get("FREERL_MATMUL_PRECISION"):
+    # TPU matmuls default to bfloat16 passes for f32 inputs; set
+    # 'float32'/'highest' to force full-precision MXU passes. Parity
+    # diagnostics use this: torch CPU baselines compute f32 throughout,
+    # and marginally-stable annealing (e.g. ENVELOPE's preference-space
+    # Q inflation) can be precision-sensitive.
+    import jax as _jax2
+
+    _jax2.config.update("jax_default_matmul_precision",
+                        _os.environ["FREERL_MATMUL_PRECISION"])
+
 from freerl_tpu import envs, buffers, nets, algos, train  # noqa: F401

@@ -21,8 +21,8 @@ for SEED in 4 5 6 7 8 9 11 12; do
     python scripts/tpu_probe.py --timeout 90 >> "$LOG" 2>&1 && break
     say "tunnel down (try $i); waiting 300s"; sleep 300
   done
-  say "seed $SEED: train (num_envs=1 exact protocol)"
-  timeout 3600 python -u -m freerl_tpu.cli \
+  say "seed $SEED: train (num_envs=1 exact protocol, f32 matmuls)"
+  timeout 3600 env FREERL_MATMUL_PRECISION=float32 python -u -m freerl_tpu.cli \
     --algo ENVELOPE --env_name deep-sea-treasure-v0 \
     --max_episodes 5000 --num_envs 1 --updates_per_burst 1 \
     --batch_size 256 --buffer_size 1000000 --start_steps 500 \
