@@ -274,6 +274,14 @@ class Envelope(OffPolicyAlgo):
         )
         g = jax.random.gumbel(key, logits.shape)
         _, idx = jax.lax.top_k(logits + g, batch_size)
+        # size < batch_size (possible only when learning starts before
+        # batch_size transitions exist): top_k must fill the tail from
+        # -inf-masked unwritten slots — fold those back onto valid
+        # entries (the reference instead shrinks the batch via
+        # batch_size=min(total, batch) — ENVELOPE_DQN.py:193; a static
+        # batch shape needs duplication rather than shrinking)
+        idx = jnp.where(idx < buffer.size, idx,
+                        idx % jnp.maximum(buffer.size, 1))
         return jax.tree.map(lambda x: x[idx], buffer.data)
 
     # ------------------------------------------------------------------

@@ -119,7 +119,9 @@ class HAPPO(MAPPO):
                 act_f[:, i, : self.act_dims[i]] if self.is_continue
                 else act_f[:, i]
             )
-            logp, _ = self._logp_ent(a_params, obs_f[:, i, : self.obs_dims[i]],
+            # _actor_obs strips the global-state slice when state_dim>0
+            # (the actors are built on state-stripped input dims)
+            logp, _ = self._logp_ent(a_params, self._actor_obs(obs_f, i),
                                      act_i, i)
             return logp
 
@@ -137,7 +139,7 @@ class HAPPO(MAPPO):
 
                 def actor_loss_fn(params, idx):
                     logp, ent = self._logp_ent(
-                        params, obs_f[idx, i, : self.obs_dims[i]],
+                        params, self._actor_obs(obs_f[idx], i),
                         act_i[idx], i,
                     )
                     ratio = jnp.exp(logp - logp_old_f[idx, i])[:, None]

@@ -440,10 +440,18 @@ class MAPPO:
             obs = state.obs_rms.normalize(obs)
         outs = []
         for i in range(self.n_agents):
+            aobs = self._actor_obs(obs, i)
             out = self.actors[i].apply(
-                {"params": state.actor_params[i]}, self._actor_obs(obs, i)
+                {"params": state.actor_params[i]}, aobs
             )
             if not self.is_continue:
+                if self.cfg.masked:
+                    # eval must honor availability exactly like the
+                    # sampling path — an argmax over raw logits could
+                    # pick a masked-out action
+                    out = D.masked_logits(
+                        out, aobs[..., -self.cfg.mask_dim:]
+                    )
                 outs.append(jnp.argmax(out, axis=-1))
             else:
                 outs.append(self._pad_act(out[0], i))

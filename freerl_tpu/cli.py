@@ -179,20 +179,27 @@ def build(args):
             buffer_size=args.buffer_size, batch_size=args.batch_size,
             num_envs=n_envs))
     if a in MARL_ON:
-        if a in ("RMAPPO", "RIPPO"):
-            rcfg = _apply_tricks(
-                algos.RMAPPOConfig(num_envs=n_envs, horizon=args.horizon),
-                args.trick, _RMAPPO_TRICKS, a,
-            )
-            if a == "RIPPO":
-                return env, algos.RIPPO(env, rcfg)
-            return env, algos.RMAPPO(env, rcfg)
         mask_kw = {}
         if hasattr(env, "n_actions") and hasattr(env, "use_state"):
             # SMAC-protocol env: mask rides the obs tail; state (when
             # use_state) sits between raw obs and mask
             mask_kw = dict(masked=True, mask_dim=env.n_actions,
                            state_dim=getattr(env, "state_dim", 0))
+        if a in ("RMAPPO", "RIPPO"):
+            if mask_kw.pop("state_dim", 0):
+                raise SystemExit(
+                    "--use_state is a centralized-MAPPO capability; the "
+                    "recurrent variants support masking but not the "
+                    "state-augmented critic"
+                )
+            rcfg = _apply_tricks(
+                algos.RMAPPOConfig(num_envs=n_envs, horizon=args.horizon,
+                                   **mask_kw),
+                args.trick, _RMAPPO_TRICKS, a,
+            )
+            if a == "RIPPO":
+                return env, algos.RIPPO(env, rcfg)
+            return env, algos.RMAPPO(env, rcfg)
         cfg = _apply_tricks(
             algos.MAPPOConfig(num_envs=n_envs, horizon=args.horizon,
                               **mask_kw),

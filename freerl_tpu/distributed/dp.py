@@ -50,7 +50,8 @@ def shard_map(f, *, mesh, in_specs, out_specs, check_rep=False):
                       out_specs=out_specs, **{_REP_KW: check_rep})
 
 from freerl_tpu.core.types import Transition
-from freerl_tpu.envs.base import Env, vec_reset, vec_step_auto_reset
+from freerl_tpu.envs.base import (Env, record_scalarize,
+                                  vec_reset, vec_step_auto_reset)
 
 _BIG = jnp.int32(1_000_000_000)  # "past all warmups" step count
 
@@ -107,6 +108,28 @@ def _example_transition(env: Env, algo=None) -> Transition:
         done=jnp.zeros((), jnp.bool_),
         episode_done=jnp.zeros((), jnp.bool_),
     )
+
+
+def _merge_records(counts, rets, steps, max_episodes):
+    """Merge per-device chronological episode records into one curve.
+
+    Orders episodes by (completion vector-step, device) so the merged
+    artifact matches the single-device drivers' chronological format.
+    ``rets`` is (n_dev, cap) or (n_dev, cap, A).
+    """
+    counts = np.asarray(counts)
+    rets = np.asarray(rets)
+    steps = np.asarray(steps)
+    rows, vals = [], []
+    for d in range(len(counts)):
+        n = int(counts[d])
+        rows.append(np.stack([steps[d, :n], np.full(n, d)], axis=1))
+        vals.append(rets[d, :n])
+    keys_m = np.concatenate(rows, axis=0) if rows else np.zeros((0, 2))
+    vals_m = (np.concatenate(vals, axis=0) if vals
+              else np.zeros((0,) + rets.shape[2:]))
+    order = np.lexsort((keys_m[:, 1], keys_m[:, 0]))
+    return vals_m[order][:max_episodes]
 
 
 # ---------------------------------------------------------------------------
@@ -248,17 +271,7 @@ def train_offpolicy_sharded(env: Env, algo, cfg, mesh: Mesh,
             buffer = buffer.add(trans)
 
         # per-device chronological episode record + completion step
-        # (vector rewards scalarize with the env's record weights, as in
-        # train/loop.py — the reference DST curve is reward . [0.5, 0.5])
-        if out.reward.ndim > 1:
-            rw = jnp.asarray(
-                getattr(env, "record_weights",
-                        np.ones((out.reward.shape[-1],), np.float32)),
-                jnp.float32,
-            )
-            step_reward = out.reward @ rw
-        else:
-            step_reward = out.reward
+        step_reward = record_scalarize(env, out.reward)
         ret = c["ep_return"] + step_reward
         dones = out.episode_done
         n_count = c["ep_counter"][0]
@@ -359,19 +372,9 @@ def train_offpolicy_sharded(env: Env, algo, cfg, mesh: Mesh,
                 break
     elapsed = time.time() - t0
 
-    # merge per-device chronological records by completion vector-step
     counts = np.asarray(carry_d["ep_counter"])
-    rets = np.asarray(carry_d["episode_returns"])
-    steps = np.asarray(carry_d["episode_steps"])
-    rows = []
-    for d in range(n_dev):
-        n = int(counts[d])
-        rows.append(np.stack(
-            [steps[d, :n], np.full(n, d), rets[d, :n]], axis=1
-        ))
-    merged = np.concatenate(rows, axis=0) if rows else np.zeros((0, 3))
-    order = np.lexsort((merged[:, 1], merged[:, 0]))
-    returns = merged[order, 2][: cfg.max_episodes]
+    returns = _merge_records(counts, carry_d["episode_returns"],
+                             carry_d["episode_steps"], cfg.max_episodes)
 
     n_steps = int(carry_d["total_steps"]) * num_envs
     info = {
@@ -578,19 +581,9 @@ def train_marl_sharded(env: Env, algo, cfg, mesh: Mesh,
                 break
     elapsed = time.time() - t0
 
-    # merge per-device chronological records by completion vector-step
     counts = np.asarray(carry_d["ep_counter"])
-    rets = np.asarray(carry_d["episode_returns"])     # (n_dev, cap, A)
-    steps = np.asarray(carry_d["episode_steps"])
-    rows, vals = [], []
-    for d in range(n_dev):
-        n = int(counts[d])
-        rows.append(np.stack([steps[d, :n], np.full(n, d)], axis=1))
-        vals.append(rets[d, :n])
-    merged = np.concatenate(rows, axis=0) if rows else np.zeros((0, 2))
-    vals = np.concatenate(vals, axis=0) if vals else np.zeros((0, A))
-    order = np.lexsort((merged[:, 1], merged[:, 0]))
-    returns = vals[order][: cfg.max_episodes]
+    returns = _merge_records(counts, carry_d["episode_returns"],
+                             carry_d["episode_steps"], cfg.max_episodes)
 
     n_steps = int(carry_d["total_steps"]) * num_envs
     info = {
@@ -801,20 +794,8 @@ def train_onpolicy_sharded(env: Env, algo, cfg, mesh: Mesh,
 
     # merge per-device chronological records by completion vector-step
     counts = np.asarray(carry_d["ep_counter"])
-    rets = np.asarray(carry_d["episode_returns"])
-    steps = np.asarray(carry_d["episode_steps"])
-    rows, vals = [], []
-    for d in range(n_dev):
-        n = int(counts[d])
-        rows.append(np.stack(
-            [steps[d, :n], np.full(n, d)], axis=1
-        ))
-        vals.append(rets[d, :n])
-    keys_m = np.concatenate(rows, axis=0) if rows else np.zeros((0, 2))
-    vals_m = (np.concatenate(vals, axis=0) if vals
-              else np.zeros((0,) + rets.shape[2:]))
-    order = np.lexsort((keys_m[:, 1], keys_m[:, 0]))
-    returns = vals_m[order][: cfg.max_episodes]
+    returns = _merge_records(counts, carry_d["episode_returns"],
+                             carry_d["episode_steps"], cfg.max_episodes)
 
     n_steps = int(carry_d["total_steps"]) * num_envs
     info = {

@@ -66,6 +66,25 @@ class StepOut:
         return jnp.logical_or(self.terminated, self.truncated)
 
 
+def record_scalarize(env: Env, reward):
+    """Scalarize a (possibly vector) step reward for episode records.
+
+    MORL envs provide ``record_weights`` (the reference's DST curve is
+    reward . [0.5, 0.5] — ENVELOPE_DQN.py:459,503); scalar rewards pass
+    through. Shared by all training drivers.
+    """
+    import numpy as _np
+
+    if reward.ndim > 1:
+        rw = jnp.asarray(
+            getattr(env, "record_weights",
+                    _np.ones((reward.shape[-1],), _np.float32)),
+            jnp.float32,
+        )
+        return reward @ rw
+    return reward
+
+
 def step_auto_reset(env: Env, state, action, key) -> StepOut:
     """Step and, where the episode ended, reset in place.
 

