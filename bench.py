@@ -118,6 +118,9 @@ def main():
         os.environ.setdefault("BENCH_SKIP_EXTRA", "1")
         global NUM_ENVS
         NUM_ENVS = min(NUM_ENVS, 512)
+    if os.environ.get("BENCH_SWEEP"):
+        bench_sweep()
+        return
     sps, elapsed = bench_dqn(
         bf16_replay=bool(os.environ.get("BENCH_BF16_REPLAY"))
     )
@@ -154,6 +157,18 @@ def main():
         f"chunk={CHUNK} updates/vecstep=1 elapsed={elapsed:.2f}s",
         file=sys.stderr,
     )
+
+
+def bench_sweep():
+    """BENCH_SWEEP=1: re-tune the env-batch size (the old 4096 peak was
+    measured under the scatter-write regime; the contiguous ring write
+    changes the economics). Prints one line per batch size."""
+    global NUM_ENVS
+    for n in (2048, 4096, 8192, 16384):
+        NUM_ENVS = n
+        sps, _ = bench_dqn()
+        print(f"# sweep num_envs={n}: {sps:,.0f} env_steps/s",
+              file=sys.stderr, flush=True)
 
 
 def bench_dqn(bf16_replay: bool = False):
