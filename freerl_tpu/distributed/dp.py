@@ -122,7 +122,10 @@ def _merge_records(counts, rets, steps, max_episodes):
     steps = np.asarray(steps)
     rows, vals = [], []
     for d in range(len(counts)):
-        n = int(counts[d])
+        # lazy host-sync lets the loop overshoot max_episodes, so the
+        # counter can exceed the record capacity; slots past it were
+        # dropped at write time (mode="drop")
+        n = min(int(counts[d]), rets.shape[1])
         rows.append(np.stack([steps[d, :n], np.full(n, d)], axis=1))
         vals.append(rets[d, :n])
     keys_m = np.concatenate(rows, axis=0) if rows else np.zeros((0, 2))
@@ -354,12 +357,17 @@ def train_offpolicy_sharded(env: Env, algo, cfg, mesh: Mesh,
     carry_d = jax.tree.map(jnp.copy, as_dict(carry))
     t0 = time.time()
     chunk_i = 0
+    n_eps = 0
+    sync_every = getattr(cfg, "host_sync_every", 4)
     with mesh:
         while True:
             carry_d = run_chunk(carry_d)
             chunk_i += 1
-            n_eps = int(jnp.sum(carry_d["ep_counter"]))
-            n_steps = int(carry_d["total_steps"]) * num_envs
+            # lazy episode-count sync (a tunnel readback is ~60 ms)
+            n_steps = chunk_i * cfg.chunk_size * num_envs
+            if (chunk_i % sync_every == 0
+                    or n_steps >= cfg.max_env_steps):
+                n_eps = int(jnp.sum(carry_d["ep_counter"]))
             if on_chunk is not None and chunk_i % cfg.log_every_chunks == 0:
                 on_chunk(chunk_i, n_eps, n_steps, ShardCarry(**carry_d))
             if (cfg.checkpoint_dir and cfg.checkpoint_every_chunks
@@ -563,12 +571,16 @@ def train_marl_sharded(env: Env, algo, cfg, mesh: Mesh,
     carry_d = jax.tree.map(jnp.copy, carry)
     t0 = time.time()
     chunk_i = 0
+    n_eps = 0
+    sync_every = getattr(cfg, "host_sync_every", 4)
     with mesh:
         while True:
             carry_d = run_chunk(carry_d)
             chunk_i += 1
-            n_eps = int(jnp.sum(carry_d["ep_counter"]))
-            n_steps = int(carry_d["total_steps"]) * num_envs
+            n_steps = chunk_i * cfg.chunk_size * num_envs
+            if (chunk_i % sync_every == 0
+                    or n_steps >= cfg.max_env_steps):
+                n_eps = int(jnp.sum(carry_d["ep_counter"]))
             if on_chunk is not None and chunk_i % cfg.log_every_chunks == 0:
                 on_chunk(chunk_i, n_eps, n_steps, carry_d)
             if (cfg.checkpoint_dir and cfg.checkpoint_every
@@ -767,13 +779,17 @@ def train_onpolicy_sharded(env: Env, algo, cfg, mesh: Mesh,
     carry_d = jax.tree.map(jnp.copy, carry)
     t0 = time.time()
     it = 0
+    n_eps = 0
     log_every = getattr(cfg, "log_every_iters", 10)
+    sync_every = getattr(cfg, "host_sync_every", 4)
     with mesh:
         while True:
             carry_d, metrics = run_iteration(carry_d)
             it += 1
-            n_eps = int(jnp.sum(carry_d["ep_counter"]))
-            n_steps = int(carry_d["total_steps"]) * num_envs
+            n_steps = it * T * num_envs
+            if (it % sync_every == 0
+                    or n_steps >= cfg.max_env_steps):
+                n_eps = int(jnp.sum(carry_d["ep_counter"]))
             if on_iter is not None and it % log_every == 0:
                 import types
 

@@ -51,6 +51,13 @@ class OffPolicyConfig:
     # cadence, DQN_file/DQN.py:328-329, in chunk units; 0 = off)
     checkpoint_dir: Optional[str] = None
     checkpoint_every_chunks: int = 0
+    # pull the episode counter from the device every N chunks (step
+    # counts are computed host-side). Over a remote-tunnel TPU a host
+    # readback costs ~60 ms (PROFILE.md) — syncing every chunk would
+    # gate the whole loop on it. Termination on max_episodes can
+    # overshoot by up to N-1 chunks; the record capacity and final
+    # slicing already tolerate that.
+    host_sync_every: int = 4
 
 
 @struct.dataclass
@@ -259,11 +266,16 @@ def train_offpolicy(env: Env, algo, cfg: OffPolicyConfig,
 
     t0 = time.time()
     chunk_i = 0
+    n_eps = 0
     while True:
         carry = run_chunk(carry)
         chunk_i += 1
-        n_eps = int(carry.ep_counter)
-        n_steps = int(carry.total_steps) * num_envs
+        # chunks always run full length, so steps are known host-side;
+        # the episode count needs a device readback — do it lazily
+        n_steps = chunk_i * cfg.chunk_size * num_envs
+        if (chunk_i % cfg.host_sync_every == 0
+                or n_steps >= cfg.max_env_steps):
+            n_eps = int(carry.ep_counter)
         if on_chunk is not None and chunk_i % cfg.log_every_chunks == 0:
             on_chunk(chunk_i, n_eps, n_steps, carry)
         if (cfg.checkpoint_dir and cfg.checkpoint_every_chunks

@@ -38,6 +38,9 @@ class MARLConfig:
     # dispatch units; 0 = off)
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0
+    # lazy device->host episode-count sync cadence (see
+    # OffPolicyConfig.host_sync_every — a tunnel readback is ~60 ms)
+    host_sync_every: int = 4
 
 
 @struct.dataclass
@@ -207,11 +210,14 @@ def train_marl(env: Env, algo, cfg: MARLConfig,
 
     t0 = time.time()
     chunk_i = 0
+    n_eps = 0
     while True:
         carry = run_chunk(carry)
         chunk_i += 1
-        n_eps = int(carry.ep_counter)
-        n_steps = int(carry.total_steps) * num_envs
+        n_steps = chunk_i * cfg.chunk_size * num_envs
+        if (chunk_i % cfg.host_sync_every == 0
+                or n_steps >= cfg.max_env_steps):
+            n_eps = int(carry.ep_counter)
         if on_chunk is not None and chunk_i % cfg.log_every_chunks == 0:
             on_chunk(chunk_i, n_eps, n_steps, carry)
         if (cfg.checkpoint_dir and cfg.checkpoint_every
