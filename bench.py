@@ -41,7 +41,7 @@ def _bench_onpolicy(env, algo, num_envs, steps_per_iter, warm_iters=2,
     marks = {}
 
     def on_iter(it, n_eps, n_steps, carry, metrics):
-        if it == warm_iters:
+        if it >= warm_iters and "t0" not in marks:
             marks["t0"], marks["s0"] = time.time(), n_steps
 
     cfg = OnPolicyConfig(
@@ -50,6 +50,8 @@ def _bench_onpolicy(env, algo, num_envs, steps_per_iter, warm_iters=2,
         max_env_steps=num_envs * steps_per_iter
         * (warm_iters + measure_iters),
         log_every_iters=1,
+        # amortize tunnel dispatch/sync over fused iterations
+        iters_per_dispatch=2,
     )
     _, _, info = train_onpolicy(env, algo, cfg, on_iter=on_iter)
     elapsed = time.time() - marks["t0"]

@@ -33,6 +33,9 @@ class OnPolicyConfig:
     max_env_steps: int = 50_000_000
     horizon: int = 2048             # total transitions per update
     log_every_iters: int = 10
+    # rollout+update iterations fused into one XLA dispatch (see the
+    # run_block note in train_onpolicy)
+    iters_per_dispatch: int = 1
     # periodic full-state checkpointing (reference save_freq cadence in
     # dispatch units; 0 = off)
     checkpoint_dir: Optional[str] = None
@@ -177,8 +180,7 @@ def train_onpolicy(env: Env, algo, cfg: OnPolicyConfig,
         )
         return new_carry, (step_data, extras)
 
-    @jax.jit
-    def run_iteration(carry: OnPolicyCarry):
+    def one_iteration(carry: OnPolicyCarry, _):
         carry, (rollout, extras) = jax.lax.scan(
             rollout_step, carry, None, length=T
         )
@@ -192,15 +194,26 @@ def train_onpolicy(env: Env, algo, cfg: OnPolicyConfig,
             algo_state, metrics = algo.update(
                 carry.algo_state, rollout, k_upd, episodes=carry.ep_counter
             )
-        carry = carry.replace(algo_state=algo_state, key=k)
-        return carry, metrics
+        return carry.replace(algo_state=algo_state, key=k), metrics
+
+    # batch K rollout+update iterations into ONE dispatch: over a
+    # remote-tunnel TPU each dispatch/sync pair costs milliseconds
+    # (PROFILE.md), so amortizing them is a direct throughput lever;
+    # on directly-attached chips K=1 and K>1 behave identically
+    K = max(cfg.iters_per_dispatch, 1)
+
+    @jax.jit
+    def run_block(carry: OnPolicyCarry):
+        carry, metrics = jax.lax.scan(one_iteration, carry, None, length=K)
+        # report the LAST iteration's metrics for logging
+        return carry, jax.tree.map(lambda m: m[-1], metrics)
 
     t0 = time.time()
     it = 0
     n_eps = 0
     while True:
-        carry, metrics = run_iteration(carry)
-        it += 1
+        carry, metrics = run_block(carry)
+        it += K
         # iterations are fixed-length, so steps are known host-side;
         # the episode count needs a device readback — do it lazily
         n_steps = it * T * num_envs
