@@ -144,6 +144,14 @@ def build(args):
             buffer_size=args.buffer_size, batch_size=args.batch_size,
             num_envs=n_envs))
     if a == "ENVELOPE":
+        # full-precision MXU passes for the preference-conditioned Q:
+        # bf16 matmul noise feeds the max-bias inflation loop at extreme
+        # preferences (measured: the two f32 runs are the two best of 8
+        # DST draws — train/golden.py ENVELOPE_sweep note). The nets are
+        # tiny, so the cost is negligible.
+        import jax as _jax
+
+        _jax.config.update("jax_default_matmul_precision", "float32")
         rdim = getattr(env, "reward_dim", 2)
         return env, algos.Envelope(env.dim_info, rdim, algos.EnvelopeConfig(
             buffer_size=args.buffer_size, batch_size=args.batch_size,
