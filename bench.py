@@ -42,6 +42,11 @@ def _bench_onpolicy(env, algo, num_envs, steps_per_iter, warm_iters=2,
 
     def on_iter(it, n_eps, n_steps, carry, metrics):
         if it >= warm_iters and "t0" not in marks:
+            # the lazy-sync driver no longer blocks per iteration, so
+            # force a device readback BEFORE stamping: otherwise t0
+            # lands while the warm block is still executing and the
+            # measured window silently absorbs it
+            _ = int(carry.total_steps)
             marks["t0"], marks["s0"] = time.time(), n_steps
 
     cfg = OnPolicyConfig(
@@ -166,7 +171,12 @@ def bench_sweep():
     measured under the scatter-write regime; the contiguous ring write
     changes the economics). Prints one line per batch size."""
     global NUM_ENVS
-    for n in (2048, 4096, 8192, 16384):
+    sizes = (2048, 4096, 8192, 16384)
+    if jax.default_backend() != "tpu":
+        # respect the CPU-fallback cap — a 16k-env DQN bench on host
+        # CPU runs essentially forever
+        sizes = (256, 512)
+    for n in sizes:
         NUM_ENVS = n
         sps, _ = bench_dqn()
         print(f"# sweep num_envs={n}: {sps:,.0f} env_steps/s",

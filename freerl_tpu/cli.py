@@ -149,9 +149,13 @@ def build(args):
         # preferences (measured: the two f32 runs are the two best of 8
         # DST draws — train/golden.py ENVELOPE_sweep note). The nets are
         # tiny, so the cost is negligible.
-        import jax as _jax
+        if not os.environ.get("FREERL_MATMUL_PRECISION"):
+            # NOTE process-global: set via config (the env var is only
+            # read at package import). An explicit
+            # FREERL_MATMUL_PRECISION always wins for ablations.
+            import jax as _jax
 
-        _jax.config.update("jax_default_matmul_precision", "float32")
+            _jax.config.update("jax_default_matmul_precision", "float32")
         rdim = getattr(env, "reward_dim", 2)
         return env, algos.Envelope(env.dim_info, rdim, algos.EnvelopeConfig(
             buffer_size=args.buffer_size, batch_size=args.batch_size,
@@ -309,7 +313,11 @@ def run(argv=None):
         _maybe_save(n_eps, carry)
 
     # check the save cadence on every chunk, not every logged one
-    cadence = {"log_every_chunks": 1} if args.save_freq else {}
+    # --save_freq wants episode-granular checkpoint checks: restore
+    # per-chunk logging AND per-chunk episode-count sync (the drivers
+    # otherwise sync lazily and on_chunk would see stale counts)
+    cadence = ({"log_every_chunks": 1, "host_sync_every": 1}
+               if args.save_freq else {})
 
     if args.algo in OFFPOLICY:
         cfg = OffPolicyConfig(
@@ -334,7 +342,8 @@ def run(argv=None):
         cfg = OnPolicyConfig(
             seed=args.seed, num_envs=args.num_envs,
             max_episodes=args.max_episodes, horizon=args.horizon,
-            **({"log_every_iters": 1} if args.save_freq else {}),
+            **({"log_every_iters": 1, "host_sync_every": 1}
+               if args.save_freq else {}),
         )
         state, returns, info = train_onpolicy(env, algo, cfg,
                                               on_iter=on_iter)

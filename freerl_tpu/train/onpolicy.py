@@ -84,10 +84,13 @@ def train_onpolicy(env: Env, algo, cfg: OnPolicyConfig,
     T = max(cfg.horizon // num_envs, 1)
     # an episode costs >=1 env step, so the record never needs more
     # slots than the step budget (guards huge max_episodes sentinels)
-    # include the final iteration's overshoot past max_env_steps (up to
-    # T*num_envs env steps) so episodes finishing inside it are recorded
+    # include the final dispatch block's overshoot past max_env_steps
+    # (up to iters_per_dispatch*T*num_envs env steps) so episodes
+    # finishing inside it are recorded
     record_cap = min(
-        cfg.max_episodes, cfg.max_env_steps + T * num_envs
+        cfg.max_episodes,
+        cfg.max_env_steps
+        + max(cfg.iters_per_dispatch, 1) * T * num_envs,
     ) + num_envs + 1
     n_agents = getattr(env, "n_agents", 1)
     rew_shape = (num_envs, n_agents) if n_agents > 1 else (num_envs,)
@@ -211,19 +214,21 @@ def train_onpolicy(env: Env, algo, cfg: OnPolicyConfig,
     t0 = time.time()
     it = 0
     n_eps = 0
+    # with K-iteration blocks, "every N iterations" must fire once per
+    # window for ANY K: it % N < K is true exactly once per N window
+    hit = lambda every: every > 0 and it % every < K
     while True:
         carry, metrics = run_block(carry)
         it += K
         # iterations are fixed-length, so steps are known host-side;
         # the episode count needs a device readback — do it lazily
         n_steps = it * T * num_envs
-        if (it % cfg.host_sync_every == 0
-                or n_steps >= cfg.max_env_steps):
+        if hit(cfg.host_sync_every) or n_steps >= cfg.max_env_steps:
             n_eps = int(carry.ep_counter)
-        if on_iter is not None and it % cfg.log_every_iters == 0:
+        if on_iter is not None and hit(cfg.log_every_iters):
             on_iter(it, n_eps, n_steps, carry, metrics)
         if (cfg.checkpoint_dir and cfg.checkpoint_every
-                and it % cfg.checkpoint_every == 0):
+                and hit(cfg.checkpoint_every)):
             from freerl_tpu.train.runio import save_checkpoint
 
             save_checkpoint(f"{cfg.checkpoint_dir}/ckpt", carry.algo_state)

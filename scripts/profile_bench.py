@@ -142,7 +142,8 @@ def measure_mappo(num_envs=1024, steps_per_iter=32, iters=4):
         marks = {}
 
         def on_iter(it, n_eps, n_steps, carry, metrics):
-            if it == 1:
+            if it >= 1 and "t0" not in marks:
+                _ = int(carry.total_steps)   # block: see bench.py note
                 marks["t0"], marks["s0"] = time.time(), n_steps
 
         cfg = OnPolicyConfig(
