@@ -382,16 +382,16 @@ SPECS: List[GoldenSpec] = [
         # the cent — results/envelope_runs_summary.json). Gate: slack =
         # the reference's own across-run spread (9.4), floor = its worse
         # committed run; a tail draw tightens this naturally.
-        # Matmul precision matters for the annealing endgame: the two
-        # f32-matmul runs (FREERL_MATMUL_PRECISION=float32) are the two
-        # best of 8 protocol-exact draws (+3.50 with only 10/100 failed
-        # weights, and -3.05) vs default-bf16-matmul draws spanning
-        # -1.3..-50 — consistent with bf16 noise feeding the max-bias
-        # inflation loop at extreme preferences.
+        # Matmul precision matters for the annealing endgame: the top
+        # THREE of 15 protocol-exact draws are all f32-matmul runs
+        # (+4.36 / +3.50 / +2.63; best has only 7/100 failed weights)
+        # while every default-bf16 draw lands <= -1.3 — bf16 noise feeds
+        # the max-bias inflation loop at extreme preferences, so the
+        # CLI forces f32 matmuls for ENVELOPE.
         window=100, slack=9.4, floor=-2.81,
         note="100-pref Pareto sweep (eval_agent.py:42-101); ref runs "
              "span -2.81..+6.52, slack = that spread, floor = ref's "
-             "worse run; best ours +3.50 (f32 matmuls); evidence "
+             "worse run; best ours +4.36 (f32 matmuls); evidence "
              "results/envelope_runs_summary.json",
     ),
 ]
