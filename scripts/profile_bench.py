@@ -242,11 +242,20 @@ kernel is within an order of magnitude of the HBM roofline.
 | **full iteration** | **{m_total:.1f}** | 100% |
 
 Full-loop throughput: {m_sps:,.0f} env-steps/s. Each vector step moves
-1024 envs x 3 agents; the update phase runs 5 epochs x 4 minibatches of
-8192 rows through 3 per-agent actors and 3 centralized critics — the
-per-agent python loop issues 6 small matmuls per layer where a stacked
-(vmapped-over-agents) layout would issue 1 batched one; that is the
-next lever if the update share dominates.
+1024 envs x 3 agents; the update runs 5 epochs x 4 minibatches of 8192
+rows through all six per-agent nets (vmap-stacked: one batched matmul
+per layer across agents).
+
+Context for these numbers (root-caused r4): the device-side compute of
+the rollout content is ~200 us/vector-step when measured as an isolated
+chained scan — the remainder is HOST round trips over the remote TPU
+tunnel (~60 ms per device->host readback; ~2 ms per dispatch), which the
+drivers now amortize via lazy episode-count sync (host_sync_every) and
+fused iteration blocks (iters_per_dispatch). The residual rollout/update
+split above varies with tunnel latency mood between the two
+monkeypatched measurement runs; on a directly-attached TPU (readback
+~0.1 ms) the loop would run at device speed, ~4M env-steps/s at these
+shapes.
 """)
     print("wrote", args.out, flush=True)
     return 0
