@@ -142,6 +142,16 @@ def main():
             # halved-HBM replay variant of the headline loop
             bf16_sps, _ = bench_dqn(bf16_replay=True)
             extra["dqn_bf16_replay_env_steps_per_s"] = round(bf16_sps, 1)
+            # peak-batch config: the contiguous ring write removed the
+            # old 4096-env scatter ceiling, and throughput keeps scaling
+            # with the env batch (BENCH_SWEEP r4: 2048/4096/8192/16384 ->
+            # 25/50/91/147M). The headline stays at 4096 for
+            # round-over-round comparability; this extra records the
+            # larger-batch operating point (note the update/env-step
+            # ratio scales down with batch).
+            peak_sps, _ = bench_dqn(num_envs=16384)
+            extra["dqn_16k_envs_env_steps_per_s"] = round(peak_sps, 1)
+            NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
         except Exception as e:  # extras must never sink the headline
             extra["error"] = repr(e)
 
@@ -183,7 +193,10 @@ def bench_sweep():
               file=sys.stderr, flush=True)
 
 
-def bench_dqn(bf16_replay: bool = False):
+def bench_dqn(bf16_replay: bool = False, num_envs: int = None):
+    global NUM_ENVS
+    if num_envs is not None:
+        NUM_ENVS = num_envs
     from freerl_tpu.algos.dqn import DQN, DQNConfig
     from freerl_tpu.buffers.uniform import ReplayBuffer  # noqa: F401
     from freerl_tpu.core.types import Transition
