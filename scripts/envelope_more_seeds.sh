@@ -16,7 +16,7 @@ if [ -n "${1:-}" ]; then
   while kill -0 "$1" 2>/dev/null; do sleep 60; done
 fi
 
-for SEED in 4 5 6 7 8 9 11 12; do
+for SEED in 5 6 7 8 9 11 12 13; do
   for i in 1 2; do
     python scripts/tpu_probe.py --timeout 90 >> "$LOG" 2>&1 && break
     say "tunnel down (try $i); waiting 300s"; sleep 300
