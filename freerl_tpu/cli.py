@@ -88,6 +88,13 @@ def build(args):
         args.algo in MARL_ON and args.discrete_actions
     ):
         env_kwargs["continuous_actions"] = False
+    if getattr(args, "N", None):
+        # the reference's env_agent_n knob (MADDPG_simple.py:214-226):
+        # N for spread/adversary, num_good for tag/world_comm
+        if args.env_name in ("simple_tag_v3", "simple_world_comm_v3"):
+            env_kwargs["num_good"] = args.N
+        else:
+            env_kwargs["N"] = args.N
     if args.env_name == "fake-smac" or args.env_name.startswith("smac:"):
         # SMAC-protocol route (reference MAPPO_for_mask_action[_state].py):
         # 'fake-smac' = the instrumented protocol toy; 'smac:<module>:<fn>'
@@ -175,21 +182,29 @@ def build(args):
     if a == "MAT":
         return env, algos.MAT(env, algos.MATConfig(num_envs=n_envs,
                                                    horizon=args.horizon))
+    # optional lr overrides (reference --actor_lr/--critic_lr; e.g. the
+    # Nov-2024 N=5 MASAC/MAAC runs predate the 2025.3.22 lr change and
+    # used the then-default 1e-3)
+    lr_kw = {}
+    if getattr(args, "actor_lr", None) is not None:
+        lr_kw["actor_lr"] = args.actor_lr
+    if getattr(args, "critic_lr", None) is not None:
+        lr_kw["critic_lr"] = args.critic_lr
     if a in {"MADDPG", "MATD3"}:
         cfg = algos.MADDPGConfig(buffer_size=args.buffer_size,
                                  batch_size=args.batch_size,
                                  num_envs=n_envs,
-                                 att_critic="ATT" in args.trick)
+                                 att_critic="ATT" in args.trick, **lr_kw)
         ctor = algos.MATD3 if a == "MATD3" else algos.MADDPG
         return env, ctor(env, cfg)
     if a == "MASAC":
         return env, algos.MASAC(env, algos.MASACConfig(
             buffer_size=args.buffer_size, batch_size=args.batch_size,
-            num_envs=n_envs))
+            num_envs=n_envs, **lr_kw))
     if a == "MAAC":
         return env, algos.MAAC(env, algos.MAACConfig(
             buffer_size=args.buffer_size, batch_size=args.batch_size,
-            num_envs=n_envs))
+            num_envs=n_envs, **lr_kw))
     if a in MARL_ON:
         mask_kw = {}
         if hasattr(env, "n_actions") and hasattr(env, "use_state"):
@@ -247,6 +262,15 @@ def run(argv=None):
                    help="pin every episode reset to one start state "
                         "(the reference's env.reset(seed=seed) loop)")
     p.add_argument("--discrete_actions", action="store_true")
+    p.add_argument("--actor_lr", type=float, default=None,
+                   help="override the algorithm config's actor_lr "
+                        "(MARL algos; None = converged default)")
+    p.add_argument("--critic_lr", type=float, default=None,
+                   help="override the algorithm config's critic_lr")
+    p.add_argument("--N", type=int, default=None,
+                   help="MPE agent count (reference env_agent_n, "
+                        "MADDPG_simple.py:214-226: N for spread/adversary, "
+                        "num_good for tag/world_comm); default = env default")
     p.add_argument("--use_state", action="store_true",
                    help="SMAC-protocol envs: feed env.get_state() to the "
                         "centralized critic (MAPPO_for_mask_action_state)")

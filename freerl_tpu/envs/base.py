@@ -150,7 +150,17 @@ class FixedResetWrapper(Env):
     def __init__(self, env: Env, seed: int = 0):
         self.env = env
         self._reset_key = jax.random.PRNGKey(seed)
+        # mirror the public surface explicitly: Env's CLASS attribute
+        # defaults (n_agents=1, agent_obs_dims=()) would otherwise shadow
+        # __getattr__ forwarding and break MARL algos that read them
         self.dim_info = env.dim_info
+        self.max_steps = env.max_steps
+        self.reward_threshold = env.reward_threshold
+        self.name = env.name
+        self.n_agents = env.n_agents
+        self.agent_obs_dims = env.agent_obs_dims
+        if hasattr(env, "agent_act_dims"):
+            self.agent_act_dims = env.agent_act_dims
 
     def __getattr__(self, name):
         return getattr(self.env, name)
