@@ -240,9 +240,19 @@ class CEMGD3PG:
 
 def train_cem_gd3pg(env: Env, algo: CEMGD3PG, max_episodes: int = 200,
                     seed: int = 0, start_steps: int = 1000,
-                    updates_per_episode: Optional[int] = None):
+                    updates_per_episode: Optional[int] = None,
+                    full_ratio: bool = False,
+                    on_episode=None):
     """The reference's ES/gradient interleave (CEM_GD3PG.py:398-487) with
-    TPU-parallel population evaluation. Returns (state, returns, info)."""
+    TPU-parallel population evaluation. Returns (state, returns, info).
+
+    ``full_ratio=True`` reproduces the reference's update cadence exactly
+    (``for _ in range(steps): policy.learn(...)`` :483-485 — one gradient
+    step per domain-episode env step, up to 1600/episode on
+    BipedalWalker); the default caps at 100 updates/episode for test
+    economy. The update loop runs as ONE jitted fori_loop burst —
+    sampling both buffers and stepping the learner on-device — so the
+    full-protocol run costs one dispatch per episode, not 1600."""
     import time as _time
 
     cfg = algo.cfg
@@ -275,7 +285,23 @@ def train_cem_gd3pg(env: Env, algo: CEMGD3PG, max_episodes: int = 200,
     flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), trans)
     buffer = buffer.add(flat)
 
-    learn_jit = jax.jit(algo.learn)
+    half_b = cfg.batch_size // 2
+
+    @jax.jit
+    def learn_burst(state, buffer, buffer_domain, key, n_upd,
+                    is_f1_more, delta):
+        def body(i, carry):
+            st, k = carry
+            k, k1, k2 = jax.random.split(k, 3)
+            b1 = buffer.sample(k1, half_b)
+            b2 = buffer_domain.sample(k2, half_b)
+            batch = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b]), b1, b2
+            )
+            st, _ = algo.learn(st, batch, is_f1_more, delta)
+            return (st, k)
+        return jax.lax.fori_loop(0, n_upd, body, (state, key))[0]
+
     gauss_sigma = cfg.gauss_sigma
     returns = []
     cnt_es = 0
@@ -288,7 +314,7 @@ def train_cem_gd3pg(env: Env, algo: CEMGD3PG, max_episodes: int = 200,
         s, obs = env.reset(k0)
 
         def step(carry, t):
-            s, obs, ret, done_once, k = carry
+            s, obs, ret, ep_len, done_once, k = carry
             k, kn, ks = jax.random.split(k, 3)
             a = algo.actor.apply({"params": domain_params}, obs)
             a = jnp.clip(
@@ -298,19 +324,22 @@ def train_cem_gd3pg(env: Env, algo: CEMGD3PG, max_episodes: int = 200,
             )
             out = step_auto_reset(env, s, a, ks)
             ret = ret + out.reward * (~done_once)
+            ep_len = ep_len + (~done_once).astype(jnp.int32)
             done_once = done_once | out.episode_done
             trans = Transition(
                 obs=obs, action=a, reward=out.reward,
                 next_obs=out.next_obs, done=out.terminated,
                 episode_done=out.episode_done,
             )
-            return (out.state, out.carry_obs, ret, done_once, k), trans
+            return (out.state, out.carry_obs, ret, ep_len, done_once, k), \
+                trans
 
-        (_, _, ret, _, _), transitions = jax.lax.scan(
-            step, (s, obs, jnp.float32(0), jnp.bool_(False), key),
+        (_, _, ret, ep_len, _, _), transitions = jax.lax.scan(
+            step,
+            (s, obs, jnp.float32(0), jnp.int32(0), jnp.bool_(False), key),
             jnp.arange(env.max_steps),
         )
-        return ret, transitions
+        return ret, ep_len, transitions
 
     for ep in range(max_episodes):
         if cnt_es == P:
@@ -368,29 +397,35 @@ def train_cem_gd3pg(env: Env, algo: CEMGD3PG, max_episodes: int = 200,
         fitness.append(max(f1, f2))
         cnt_es += 1
 
-        # domain rollout with exploration noise -> domain buffer
+        # domain rollout with exploration noise -> domain buffer. The
+        # scan always covers max_steps transitions (auto-reset rolls
+        # into follow-on episodes of the same policy — extra in-
+        # distribution data the reference lacks), but the RECORDED
+        # return and the update count use the FIRST episode only,
+        # matching the reference's one-episode/ep_len-updates cadence.
         k_dom, key = jax.random.split(key)
-        ep_ret, trans = domain_episode(domain, k_dom, gauss_sigma)
+        ep_ret, ep_len, trans = domain_episode(domain, k_dom, gauss_sigma)
         flat = trans
         buffer_domain = buffer_domain.add(flat)
-        n_steps = int(np.asarray(trans.reward).shape[0])
+        n_steps = int(ep_len) if full_ratio else int(
+            np.asarray(trans.reward).shape[0]
+        )
         total_steps += n_steps
         gauss_sigma = max(cfg.sigma_min, gauss_sigma * cfg.sigma_decay)
         returns.append(float(ep_ret))
 
         if total_steps > start_steps:
-            n_upd = updates_per_episode or min(n_steps, 100)
-            for i in range(n_upd):
-                k_s1, k_s2, key = jax.random.split(key, 3)
-                half_b = cfg.batch_size // 2
-                b1 = buffer.sample(k_s1, half_b)
-                b2 = buffer_domain.sample(k_s2, half_b)
-                batch = jax.tree.map(
-                    lambda a, b: jnp.concatenate([a, b]), b1, b2
-                )
-                state, _ = learn_jit(
-                    state, batch, jnp.bool_(is_f1_more), jnp.float32(delta)
-                )
+            n_upd = updates_per_episode or (
+                n_steps if full_ratio else min(n_steps, 100)
+            )
+            k_b, key = jax.random.split(key)
+            state = learn_burst(
+                state, buffer, buffer_domain, k_b, jnp.int32(n_upd),
+                jnp.bool_(is_f1_more), jnp.float32(delta),
+            )
+
+        if on_episode is not None:
+            on_episode(ep, returns, total_steps)
 
     info = {
         "elapsed_s": _time.time() - t0,
