@@ -85,7 +85,8 @@ def build(args):
 
     env_kwargs = {}
     if args.algo in {"MAAC"} or (
-        args.algo in MARL_ON and args.discrete_actions
+        (args.algo in MARL_ON or args.algo == "MAT")
+        and args.discrete_actions
     ):
         env_kwargs["continuous_actions"] = False
     if getattr(args, "N", None):
@@ -119,10 +120,15 @@ def build(args):
     # namespaces) lack the key
     if getattr(args, "fixed_reset", False):
         # the reference's same-seed-every-episode reset convention
-        # (DQN_file/DQN.py:334, SURVEY §4.1 determinism fixture)
+        # (DQN_file/DQN.py:334, SURVEY §4.1 determinism fixture).
+        # --reset_seed decouples the pinned LAYOUT from the training rng
+        # (e.g. two independent draws on one layout, the shape of the
+        # reference's repeated same-seed runs)
         from freerl_tpu.envs.base import FixedResetWrapper
 
-        env = FixedResetWrapper(env, seed=args.seed)
+        rs = args.reset_seed if getattr(args, "reset_seed", None) is not None \
+            else args.seed
+        env = FixedResetWrapper(env, seed=rs)
 
     a = args.algo
     n_envs = args.num_envs
@@ -261,6 +267,9 @@ def run(argv=None):
     p.add_argument("--fixed_reset", action="store_true",
                    help="pin every episode reset to one start state "
                         "(the reference's env.reset(seed=seed) loop)")
+    p.add_argument("--reset_seed", type=int, default=None,
+                   help="with --fixed_reset: pin the layout to THIS seed "
+                        "while --seed varies the training rng")
     p.add_argument("--discrete_actions", action="store_true")
     p.add_argument("--actor_lr", type=float, default=None,
                    help="override the algorithm config's actor_lr "

@@ -449,7 +449,11 @@ SPECS: List[GoldenSpec] = [
              "their spread",
     ),
     GoldenSpec(
-        "simple_adversary_v3", "IPPO_5000_3_seed", "",
+        # protocol-exact twin of the reference's committed evidence: its
+        # two IPPO adversary runs are BOTH layout seed 100 (IPPO_1 and
+        # IPPO_2 each carry IPPO_seed_100.npy — two independent draws on
+        # ONE fixed layout). Ours: seeds 100/1100 with --reset_seed 100.
+        "simple_adversary_v3", "IPPO_L100_2_seed", "",
         ref_paths=(
             "MAPPO_file/results/simple_adversary_v3/IPPO_1/"
             "IPPO_seed_100.npy",
@@ -457,8 +461,18 @@ SPECS: List[GoldenSpec] = [
             "IPPO_seed_100.npy",
         ),
         slack=2.4, pending=True,
-        note="5000-ep adversary protocol; ref runs +4.1/+1.7, slack = "
-             "their spread",
+        note="5000-ep adversary, layout 100 (both ref runs' layout); "
+             "ref draws +4.1/+1.7, slack = their spread",
+    ),
+    GoldenSpec(
+        # cross-LAYOUT spread record (no reference counterpart — its
+        # committed runs never vary the layout): 3 layouts, floor guards
+        # learning on every one. Layout difficulty genuinely varies
+        # (mixed-competitive returns are layout-dependent).
+        "simple_adversary_v3", "IPPO_5000_3_seed", "",
+        floor=-3.0, pending=True,
+        note="3-layout spread record (-1.7/+0.9/+1.3); the reference "
+             "has no multi-layout evidence, floor guards learning",
     ),
     GoldenSpec(
         "simple_spread_v3", "MAPPO_attention_N30_1_seed", "",

@@ -82,8 +82,10 @@ def main() -> int:
     out["unsharded_control"] = control
 
     # 2. collective micro-cost: pmean of a DQN-gradient-sized pytree
+    # (the HEADLINE config's net: LunarLander 8-128-128-4)
     mesh = make_mesh(8)
-    algo = DQN(env.dim_info, DQNConfig())
+    ll = make("LunarLander-v2")
+    algo = DQN(ll.dim_info, DQNConfig(hidden=(128, 128)))
     params = algo.init(jax.random.PRNGKey(0)).params
     n_params = sum(x.size for x in jax.tree.leaves(params))
     grad_bytes = 4 * n_params
@@ -99,11 +101,12 @@ def main() -> int:
     ))
     g = jax.tree.map(lambda x: jnp.ones_like(x), params)
     jax.block_until_ready(synced(g))
+    # block every call: chaining hundreds of async 8-way rendezvous on a
+    # 2-core host starves a participant past XLA's 40 s fatal timeout
     t0 = time.time()
-    reps = 200
+    reps = 20
     for _ in range(reps):
-        g = synced(g)
-    jax.block_until_ready(g)
+        jax.block_until_ready(synced(g))
     pmean_us = (time.time() - t0) / reps * 1e6
     out["grad_pytree"] = dict(n_params=int(n_params),
                               bytes=int(grad_bytes),

@@ -61,8 +61,16 @@ RUNS = {
     "MAPPO_attention_N5": ("MAPPO", "simple_spread_v3", 5000,
                            ["--N", "5", "--trick", "attention"]),
     "HAPPO_N5": ("HAPPO", "simple_spread_v3", 5000, ["--N", "5"]),
-    "MAT_N5": ("MAT", "simple_spread_v3", 7000, ["--N", "5"]),
+    # MAT protocol (MAT.py argparse): DISCRETE actions, horizon 256
+    # (= one 256-row batch, K_epochs 15, clip 0.05)
+    "MAT_N5": ("MAT", "simple_spread_v3", 7000,
+               ["--N", "5", "--discrete_actions", "--horizon", "256"]),
     "IPPO_5000": ("IPPO", "simple_adversary_v3", 5000, []),
+    # the reference's two committed IPPO adversary runs are BOTH layout
+    # seed 100 (IPPO_1/IPPO_2: IPPO_seed_100.npy) — two independent
+    # draws on one layout; reproduce that shape via --reset_seed
+    "IPPO_L100": ("IPPO", "simple_adversary_v3", 5000,
+                  ["--reset_seed", "100"]),
     "MAPPO_attention_N30": ("MAPPO", "simple_spread_v3", 5000,
                             ["--N", "30", "--trick", "attention"]),
 }
