@@ -91,6 +91,10 @@ class CEMGD3PG:
         self.actor_tx = optax.adam(cfg.actor_lr, eps=1e-8)
         self.critic_tx = optax.adam(cfg.critic_lr, eps=1e-8)
         self._unravel = None
+        # jitted population-rollout programs keyed by (env id, P, T) —
+        # defining the closure per call would recompile the full
+        # episode scan on EVERY fitness evaluation
+        self._eval_cache = {}
 
     # ------------------------------------------------------------------
     def init(self, key: jax.Array) -> CEMGD3PGState:
@@ -132,6 +136,10 @@ class CEMGD3PG:
         T = max_steps or env.max_steps
         pop = jax.vmap(self._unravel)(jnp.asarray(flat_params, jnp.float32))
 
+        cached = self._eval_cache.get((id(env), P, T))
+        if cached is not None:
+            return cached(pop, jnp.asarray(key))
+
         @jax.jit
         def run(pop, key):
             keys = jax.random.split(key, P)
@@ -163,7 +171,8 @@ class CEMGD3PG:
             )
             return ret, transitions
 
-        return run(pop, key)
+        self._eval_cache[(id(env), P, T)] = run
+        return run(pop, jnp.asarray(key))
 
     # ------------------------------------------------------------------
     def learn(self, state: CEMGD3PGState, batch: Transition,
