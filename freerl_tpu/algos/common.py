@@ -60,6 +60,18 @@ def gae(rewards, values, next_values, dones, episode_dones, gamma, lam):
     return advs, advs + values
 
 
+def clip_grads_by_norm(grads, max_norm: float):
+    """torch.nn.utils.clip_grad_norm_ semantics over one parameter group:
+    compute the group's global L2 norm and scale by
+    ``max_norm / (norm + 1e-6)`` when it exceeds ``max_norm`` (the
+    reference applies this per-net at 0.5 — PPO.py:127-151,
+    HAPPO.py:247-253, IPPO.py:174-180)."""
+    leaves = jax.tree.leaves(grads)
+    norm = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in leaves))
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+    return jax.tree.map(lambda g: g * scale, grads)
+
+
 def clipped_surrogate(ratio, adv, clip_eps: float):
     return -jnp.minimum(
         ratio * adv, jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps) * adv

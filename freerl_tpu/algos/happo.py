@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from freerl_tpu.algos.common import clip_grads_by_norm
 from freerl_tpu.algos.common import huber as huber_fn
 from freerl_tpu.algos.mappo import MAPPO, MAPPOConfig, MAPPOState
 from freerl_tpu.envs.base import Env
@@ -177,6 +178,10 @@ class HAPPO(MAPPO):
                         if cfg.axis_name is not None:
                             a_g = jax.lax.pmean(a_g, cfg.axis_name)
                             c_g = jax.lax.pmean(c_g, cfg.axis_name)
+                        # reference HAPPO clips each net at 0.5 every
+                        # update (HAPPO.py:247-253)
+                        a_g = clip_grads_by_norm(a_g, 0.5)
+                        c_g = clip_grads_by_norm(c_g, 0.5)
                         a_up, ao = self.actor_tx.update(a_g, ao, ap)
                         ap = optax.apply_updates(ap, a_up)
                         c_up, co = self.critic_tx.update(c_g, co, cp)

@@ -31,6 +31,7 @@ import optax
 from flax import linen as nn
 from flax import struct
 
+from freerl_tpu.algos.common import clip_grads_by_norm
 from freerl_tpu.algos.common import huber as huber_fn
 from freerl_tpu.core.normalization import RewardScaling, RunningMeanStd
 from freerl_tpu.envs.base import Env
@@ -155,6 +156,11 @@ class MAPPOConfig:
     num_envs: int = 1
     huber_delta: float = 10.0
     independent: bool = False       # IPPO mode
+    # per-net grad-norm clip. The reference's MAPPO has its clip lines
+    # commented out (MAPPO.py:244-268 '###') — so MAPPO defaults to
+    # None — while IPPO actively clips at 0.5 (IPPO.py:174-180); the
+    # IPPO() factory sets this.
+    max_grad_norm: Optional[float] = None
     # tricks (MAPPO.py:600-607)
     adv_norm: bool = False
     obs_norm: bool = False
@@ -678,6 +684,14 @@ class MAPPO:
                     grads = jax.grad(loss_fn)(params, idx)
                     if cfg.axis_name is not None:
                         grads = jax.lax.pmean(grads, cfg.axis_name)
+                    if cfg.max_grad_norm is not None:
+                        # IPPO clips each net at 0.5 (IPPO.py:174-180);
+                        # on the stacked path the clip group spans the
+                        # stacked agent axis
+                        grads = {
+                            k: clip_grads_by_norm(v, cfg.max_grad_norm)
+                            for k, v in grads.items()
+                        }
                     opt_state.hyperparams["learning_rate"] = (
                         cfg.actor_lr * frac
                     )
@@ -806,6 +820,14 @@ class MAPPO:
                     grads = jax.grad(loss_fn)(params, idx)
                     if cfg.axis_name is not None:
                         grads = jax.lax.pmean(grads, cfg.axis_name)
+                    if cfg.max_grad_norm is not None:
+                        # IPPO clips each net at 0.5 (IPPO.py:174-180);
+                        # on the stacked path the clip group spans the
+                        # stacked agent axis
+                        grads = {
+                            k: clip_grads_by_norm(v, cfg.max_grad_norm)
+                            for k, v in grads.items()
+                        }
                     opt_state.hyperparams["learning_rate"] = (
                         cfg.actor_lr * frac
                     )
@@ -850,4 +872,6 @@ def IPPO(env: Env, cfg: MAPPOConfig = None) -> MAPPO:
         cfg = MAPPOConfig(independent=True)
     else:
         cfg = dataclasses.replace(cfg, independent=True)
+    if cfg.max_grad_norm is None:
+        cfg = dataclasses.replace(cfg, max_grad_norm=0.5)
     return MAPPO(env, cfg)

@@ -30,6 +30,7 @@ import optax
 from flax import linen as nn
 from flax import struct
 
+from freerl_tpu.algos.common import clip_grads_by_norm
 from freerl_tpu.algos.common import gae as gae_fn
 from freerl_tpu.core.normalization import RewardScaling, RunningMeanStd
 from freerl_tpu.core.types import DimInfo
@@ -440,6 +441,14 @@ class PPO:
                 grads, _ = jax.grad(loss_fn, has_aux=True)(params, idx)
                 if cfg.axis_name is not None:
                     grads = jax.lax.pmean(grads, cfg.axis_name)
+                # reference clips actor and critic grad norms at 0.5 on
+                # EVERY update (PPO.py:127-151) — load-bearing for
+                # post-convergence stability (without it the policy
+                # suffers late-run collapse dips the reference avoids)
+                grads = {
+                    "actor": clip_grads_by_norm(grads["actor"], 0.5),
+                    "critic": clip_grads_by_norm(grads["critic"], 0.5),
+                }
                 opt_state.hyperparams["learning_rate"] = (
                     cfg.actor_lr * frac
                 )
