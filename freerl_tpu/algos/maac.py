@@ -163,8 +163,11 @@ class MAAC(OffPolicyAlgo):
             self.obs_dims, self.act_dims, cfg.attention_dim, 128,
             cfg.num_heads,
         )
-        self.actor_tx = optax.adam(cfg.actor_lr, eps=1e-8)
-        self.critic_tx = optax.adam(cfg.critic_lr, eps=1e-8)
+        # reference clips both nets at norm 0.5 (MAAC_discrete.py)
+        self.actor_tx = optax.chain(
+            optax.clip_by_global_norm(0.5), optax.adam(cfg.actor_lr, eps=1e-8))
+        self.critic_tx = optax.chain(
+            optax.clip_by_global_norm(0.5), optax.adam(cfg.critic_lr, eps=1e-8))
 
     def _agent_obs(self, obs, i):
         return obs[..., i, : self.obs_dims[i]]

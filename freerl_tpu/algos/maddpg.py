@@ -160,8 +160,12 @@ class MADDPG(OffPolicyAlgo):
         else:
             critic_cls = TwinQCritic if cfg.twin else QCritic
             self.critics = [critic_cls(hid) for _ in range(self.n_agents)]
-        self.actor_tx = optax.adam(cfg.actor_lr, eps=1e-8)
-        self.critic_tx = optax.adam(cfg.critic_lr, eps=1e-8)
+        # reference clips both nets at norm 0.5 (MADDPG_simple.py,
+        # MADDPG.py, MATD3_simple.py update_actor/update_critic)
+        self.actor_tx = optax.chain(
+            optax.clip_by_global_norm(0.5), optax.adam(cfg.actor_lr, eps=1e-8))
+        self.critic_tx = optax.chain(
+            optax.clip_by_global_norm(0.5), optax.adam(cfg.critic_lr, eps=1e-8))
 
     # ------------------------------------------------------------------
     def _agent_obs(self, obs, i):

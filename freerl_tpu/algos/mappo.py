@@ -236,6 +236,15 @@ class MARollout:
 
 class MAPPO:
     def __init__(self, env: Env, cfg: MAPPOConfig = MAPPOConfig()):
+        # variant-specific reference grad-clip defaults when unset:
+        # MAPPO.py's clips are commented out (None), but
+        # MAPPO_attention.py clips each net at 0.5 and MAPPO_discrete.py
+        # clips the merged group at 10
+        if cfg.max_grad_norm is None:
+            if cfg.attention:
+                cfg = dataclasses.replace(cfg, max_grad_norm=0.5)
+            elif not env.dim_info.is_continue:
+                cfg = dataclasses.replace(cfg, max_grad_norm=10.0)
         self.cfg = cfg
         self.n_agents = env.n_agents
         self.obs_dims = tuple(env.agent_obs_dims)

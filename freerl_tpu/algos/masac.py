@@ -68,8 +68,11 @@ class MASAC(OffPolicyAlgo):
             for i in range(self.n_agents)
         ]
         self.critics = [TwinQCritic(hid) for _ in range(self.n_agents)]
-        self.actor_tx = optax.adam(cfg.actor_lr, eps=1e-8)
-        self.critic_tx = optax.adam(cfg.critic_lr, eps=1e-8)
+        # reference clips actor/critic at norm 0.5 (MASAC.py update fns)
+        self.actor_tx = optax.chain(
+            optax.clip_by_global_norm(0.5), optax.adam(cfg.actor_lr, eps=1e-8))
+        self.critic_tx = optax.chain(
+            optax.clip_by_global_norm(0.5), optax.adam(cfg.critic_lr, eps=1e-8))
         self.alpha_tx = optax.adam(cfg.alpha_lr, eps=1e-8)
         self.target_entropies = tuple(
             -float(d) for d in self.act_dims

@@ -34,6 +34,7 @@ import optax
 from flax import linen as nn
 from flax import struct
 
+from freerl_tpu.algos.common import clip_grads_by_norm
 from freerl_tpu.algos.common import huber as huber_fn
 from freerl_tpu.envs.base import Env
 
@@ -468,6 +469,10 @@ class MAT:
                 grads = jax.grad(loss_fn)(params, idx)
                 if cfg.axis_name is not None:
                     grads = jax.lax.pmean(grads, cfg.axis_name)
+                # reference clips the transformer's grads at norm 10
+                # every update (MAT.py update_ac:
+                # clip_grad_norm_(self.transformer.parameters(), 10))
+                grads = clip_grads_by_norm(grads, 10.0)
                 opt_state.hyperparams["learning_rate"] = cfg.lr * frac
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 return optax.apply_updates(params, updates), opt_state

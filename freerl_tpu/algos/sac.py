@@ -141,8 +141,12 @@ class SAC(OffPolicyAlgo):
             self.actor = SoftmaxPolicy(dim_info.action_dim, tuple(cfg.hidden))
             self.critic = TwinQTable(dim_info.action_dim, tuple(cfg.hidden))
             self.target_entropy = 0.6 * math.log(dim_info.action_dim)
-        self.actor_tx = optax.adam(cfg.actor_lr, eps=1e-8)
-        self.critic_tx = optax.adam(cfg.critic_lr, eps=1e-8)
+        # reference clips actor/critic at norm 0.5 (SAC.py:144-150); the
+        # alpha optimizer is unclipped there
+        self.actor_tx = optax.chain(
+            optax.clip_by_global_norm(0.5), optax.adam(cfg.actor_lr, eps=1e-8))
+        self.critic_tx = optax.chain(
+            optax.clip_by_global_norm(0.5), optax.adam(cfg.critic_lr, eps=1e-8))
         self.alpha_tx = optax.adam(cfg.alpha_lr, eps=1e-8)
 
     # ------------------------------------------------------------------

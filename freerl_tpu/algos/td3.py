@@ -105,8 +105,11 @@ class TD3(OffPolicyAlgo):
             dim_info.action_dim, tuple(cfg.hidden), dim_info.max_action
         )
         self.critic = TwinQCritic(tuple(cfg.hidden))
-        self.actor_tx = optax.adam(cfg.actor_lr, eps=1e-8)
-        self.critic_tx = optax.adam(cfg.critic_lr, eps=1e-8)
+        # reference clips both nets at norm 0.5 every update (TD3.py:140-146)
+        self.actor_tx = optax.chain(
+            optax.clip_by_global_norm(0.5), optax.adam(cfg.actor_lr, eps=1e-8))
+        self.critic_tx = optax.chain(
+            optax.clip_by_global_norm(0.5), optax.adam(cfg.critic_lr, eps=1e-8))
 
     def init(self, key: jax.Array) -> TD3State:
         ka, kc = jax.random.split(key)
