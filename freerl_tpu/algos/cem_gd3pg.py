@@ -88,8 +88,16 @@ class CEMGD3PG:
             dim_info.action_dim, tuple(cfg.hidden), dim_info.max_action
         )
         self.critic = QCritic(tuple(cfg.hidden))
-        self.actor_tx = optax.adam(cfg.actor_lr, eps=1e-8)
-        self.critic_tx = optax.adam(cfg.critic_lr, eps=1e-8)
+        # reference clips actor_1/actor_2/critic at norm 0.5 every update
+        # (CEM_GD3PG.py:114-126)
+        self.actor_tx = optax.chain(
+            optax.clip_by_global_norm(0.5),
+            optax.adam(cfg.actor_lr, eps=1e-8),
+        )
+        self.critic_tx = optax.chain(
+            optax.clip_by_global_norm(0.5),
+            optax.adam(cfg.critic_lr, eps=1e-8),
+        )
         self._unravel = None
         # jitted population-rollout programs keyed by (env id, P, T) —
         # defining the closure per call would recompile the full
