@@ -60,7 +60,7 @@ def main() -> int:
         t0 = time.time()
 
         def on_episode(ep, returns, steps, _t0=t0, _run=run):
-            if (ep + 1) % 25 == 0:
+            if (ep + 1) % 5 == 0:
                 last = np.asarray(returns)[-25:]
                 print(f"run {_run} ep {ep + 1} last25 {last.mean():.1f} "
                       f"best {np.max(returns):.1f} steps {steps} "
