@@ -325,38 +325,82 @@ def train_cem_gd3pg(env: Env, algo: CEMGD3PG, max_episodes: int = 200,
     t0 = _time.time()
     total_steps = int(np.asarray(trans.reward).size)
 
-    @jax.jit
-    def domain_episode(domain_params, key, sigma):
-        k0, key = jax.random.split(key)
-        s, obs = env.reset(k0)
+    # ---- fused per-episode program -----------------------------------
+    # The reference runs THREE sequential full episodes per training
+    # episode (f1 eval, f2 eval, domain rollout — CEM_GD3PG.py:442-470).
+    # The walker physics step is op-count-heavy (unrolled joint/contact
+    # solver), so an UNBATCHED 1600-step scan costs seconds of pure
+    # per-op overhead; three of them dominated the wall-clock. Fused
+    # version: ONE 4-lane vmapped scan per episode — lanes 0/1 are the
+    # clean f1/f2 evals, lanes 2/3 are noisy domain rollouts for BOTH
+    # candidates (the reference picks the domain actor only after the
+    # evals; rolling both and keeping the chosen lane reproduces its
+    # ordering with one program) — executed in early-exit CHUNKS so
+    # short episodes stop after their chunk instead of scanning all
+    # max_steps.
+    T = env.max_steps
+    CH = T // 10 if T % 10 == 0 and T > 256 else T
+    n_chunks = T // CH
+    ma = algo.dim_info.max_action
 
+    @jax.jit
+    def reset4(key):
+        return jax.vmap(env.reset)(jax.random.split(key, 4))
+
+    @jax.jit
+    def fused_chunk(params4, st, obs, ret, ep_len, done_once, key, sig4):
         def step(carry, t):
-            s, obs, ret, ep_len, done_once, k = carry
-            k, kn, ks = jax.random.split(k, 3)
-            a = algo.actor.apply({"params": domain_params}, obs)
+            st, obs, ret, ep_len, done_once, k = carry
+            k, kn, kt = jax.random.split(k, 3)
+            a = jax.vmap(
+                lambda p, o: algo.actor.apply({"params": p}, o)
+            )(params4, obs)
             a = jnp.clip(
-                a + sigma * algo.dim_info.max_action
-                * jax.random.normal(kn, a.shape),
-                -algo.dim_info.max_action, algo.dim_info.max_action,
+                a + sig4[:, None] * ma * jax.random.normal(kn, a.shape),
+                -ma, ma,
             )
-            out = step_auto_reset(env, s, a, ks)
+            ks = jax.random.split(kt, 4)
+            out = jax.vmap(
+                lambda s_, a_, k_: step_auto_reset(env, s_, a_, k_)
+            )(st, a, ks)
             ret = ret + out.reward * (~done_once)
             ep_len = ep_len + (~done_once).astype(jnp.int32)
             done_once = done_once | out.episode_done
             trans = Transition(
-                obs=obs, action=a, reward=out.reward,
-                next_obs=out.next_obs, done=out.terminated,
-                episode_done=out.episode_done,
+                obs=obs[2:], action=a[2:], reward=out.reward[2:],
+                next_obs=out.next_obs[2:], done=out.terminated[2:],
+                episode_done=out.episode_done[2:],
             )
             return (out.state, out.carry_obs, ret, ep_len, done_once, k), \
                 trans
 
-        (_, _, ret, ep_len, _, _), transitions = jax.lax.scan(
-            step,
-            (s, obs, jnp.float32(0), jnp.int32(0), jnp.bool_(False), key),
-            jnp.arange(env.max_steps),
+        (st, obs, ret, ep_len, done_once, key), trans = jax.lax.scan(
+            step, (st, obs, ret, ep_len, done_once, key), jnp.arange(CH)
         )
-        return ret, ep_len, transitions
+        return st, obs, ret, ep_len, done_once, key, trans, \
+            jnp.all(done_once)
+
+    def fused_episode(a1, a2, key, sigma):
+        """Returns (f1, f2, ep_len4, chunks, n_chunks_run) — chunks hold
+        the (CH, 2, ...) noisy-lane transitions per chunk."""
+        params4 = jax.tree.map(
+            lambda x, y: jnp.stack([x, y, x, y]), a1, a2
+        )
+        sig4 = jnp.array([0.0, 0.0, sigma, sigma], jnp.float32)
+        k0, key = jax.random.split(key)
+        st, obs = reset4(k0)
+        ret = jnp.zeros((4,))
+        ep_len = jnp.zeros((4,), jnp.int32)
+        done_once = jnp.zeros((4,), bool)
+        chunks = []
+        for _ in range(n_chunks):
+            st, obs, ret, ep_len, done_once, key, trans, all_done = \
+                fused_chunk(params4, st, obs, ret, ep_len, done_once,
+                            key, sig4)
+            chunks.append(trans)
+            if bool(all_done):     # one scalar readback per chunk
+                break
+        return ret, ep_len, chunks
 
     for ep in range(max_episodes):
         if cnt_es == P:
@@ -380,15 +424,15 @@ def train_cem_gd3pg(env: Env, algo: CEMGD3PG, max_episodes: int = 200,
                 state = state.replace(actor1=algo.set_params(mixed))
             es_params[:P] = half
 
-        # evaluate both gradient actors
-        k1, k2, key = jax.random.split(key, 3)
-        f1, _ = algo.eval_population(
-            env, algo.get_params(state.actor1)[None], k1
+        # evaluate both gradient actors + roll both candidate domain
+        # episodes in ONE fused 4-lane program
+        k_ep, key = jax.random.split(key)
+        ret4, ep_len4, dom_chunks = fused_episode(
+            state.actor1, state.actor2, k_ep, gauss_sigma
         )
-        f2, _ = algo.eval_population(
-            env, algo.get_params(state.actor2)[None], k2
-        )
-        f1, f2 = float(f1[0]), float(f2[0])
+        ret4_h = np.asarray(ret4)
+        ep_len4_h = np.asarray(ep_len4)
+        f1, f2 = float(ret4_h[0]), float(ret4_h[1])
         f1_total = (1 - cfg.alpha) * float(state.f1_total) + cfg.alpha * f1
         f2_total = (1 - cfg.alpha) * float(state.f2_total) + cfg.alpha * f2
         is_f1_more = f1_total >= f2_total
@@ -414,19 +458,19 @@ def train_cem_gd3pg(env: Env, algo: CEMGD3PG, max_episodes: int = 200,
         fitness.append(max(f1, f2))
         cnt_es += 1
 
-        # domain rollout with exploration noise -> domain buffer. The
-        # scan always covers max_steps transitions (auto-reset rolls
-        # into follow-on episodes of the same policy — extra in-
-        # distribution data the reference lacks), but the RECORDED
-        # return and the update count use the FIRST episode only,
+        # chosen domain lane -> domain buffer. The chunks cover whole
+        # CH-step windows (auto-reset rolls into follow-on episodes —
+        # extra in-distribution data the reference lacks), but the
+        # RECORDED return and update count use the FIRST episode only,
         # matching the reference's one-episode/ep_len-updates cadence.
-        k_dom, key = jax.random.split(key)
-        ep_ret, ep_len, trans = domain_episode(domain, k_dom, gauss_sigma)
-        flat = trans
-        buffer_domain = buffer_domain.add(flat)
-        n_steps = int(ep_len) if full_ratio else int(
-            np.asarray(trans.reward).shape[0]
-        )
+        lane = 0 if is_f1_more else 1
+        for trans in dom_chunks:
+            buffer_domain = buffer_domain.add(
+                jax.tree.map(lambda x: x[:, lane], trans)
+            )
+        ep_ret = float(ret4_h[2 + lane])
+        ep_len = int(ep_len4_h[2 + lane])
+        n_steps = ep_len if full_ratio else len(dom_chunks) * CH
         total_steps += n_steps
         gauss_sigma = max(cfg.sigma_min, gauss_sigma * cfg.sigma_decay)
         returns.append(float(ep_ret))
