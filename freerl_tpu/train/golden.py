@@ -272,19 +272,17 @@ SPECS: List[GoldenSpec] = [
         "MountainCarContinuous-v0", "DDPG_OUNoise_3_seed",
         "DDPG_file/learning_curves/MountainCarContinuous-v0/"
         "DDPG_simple_1_seed.npy",
-        # regen landed per-seed 85.9/84.3/86.3 — a stable ~3.6 deficit
-        # vs a DIFFERENT variant's reference number (the reference
-        # commits no OUNoise curve at all; its 89.9 is the plain
-        # DDPG_simple run), so the gate mirrors the 1-seed row's
-        # measured-deficit slack rather than pretending seed luck will
-        # close a systematic variant difference
-        slack=5.0, agg="best",
-        note="3-seed OUNoise regen (85.9/84.3/86.3), best-seed vs the "
-             "reference's DDPG_simple curve",
+        # r5 fixed-reset regen (the reference's actual protocol) landed
+        # 89.3/87.0/85.6 — best within 0.6 of the 89.9 DDPG_simple
+        # curve the row borrows (the reference commits no OUNoise curve
+        # of its own); the old random-reset runs sat at ~86
+        slack=1.0, agg="best",
+        note="fixed-reset 3-seed OUNoise regen (89.3/87.0/85.6), "
+             "best-seed vs the reference's DDPG_simple curve",
         regen=("--algo", "DDPG", "--env_name", "MountainCarContinuous-v0",
                "--max_episodes", "500", "--num_envs", "8",
                "--batch_size", "64", "--trick", "OUNoise",
-               "--seed", "{seed}"),
+               "--fixed_reset", "--seed", "{seed}"),
         regen_seeds=(0, 10, 100),
     ),
     GoldenSpec(
