@@ -628,9 +628,12 @@ SPECS: List[GoldenSpec] = [
             "CEM_GD3PG_file/results/BipedalWalker-v3/CEM_GD3PG_8/"
             "CEM_GD3PG_seed_0.npy",
         ),
-        slack=300.0, floor=-110.5, agg="best", pending=True,
+        slack=300.0, floor=-110.5, agg="best",
         note="ref's two same-config runs: -110.5 / +189.5 (spread 300); "
-             "best-draw gate + floor at its worse run",
+             "ours: +81.9 / +143.2 — both draws walk (the ref's worse "
+             "one crashes), best 46 under its best with last-25 still "
+             "climbing (+168) at the 500-ep cutoff. Best-draw gate + "
+             "floor at its worse run; regen scripts/r5_cem_bipedal.py",
     ),
     GoldenSpec(
         # north-star conjunction (BASELINE.md): a full LunarLander DQN
