@@ -31,6 +31,9 @@ def main() -> int:
     ap.add_argument("--episodes", type=int, default=500)
     ap.add_argument("--runs", type=int, default=2,
                     help="independent draws (reference committed 2)")
+    ap.add_argument("--run_offset", type=int, default=0,
+                    help="start draw index (extra draws without redoing "
+                         "earlier ones; rng = seed + 1000*(offset+i))")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--random_reset", action="store_true")
     args = ap.parse_args()
@@ -51,7 +54,7 @@ def main() -> int:
     os.makedirs(out_dir, exist_ok=True)
 
     curves = []
-    for run in range(args.runs):
+    for run in range(args.run_offset, args.run_offset + args.runs):
         env = make("BipedalWalker-v3")
         if not args.random_reset:
             env = FixedResetWrapper(env, seed=args.seed)
