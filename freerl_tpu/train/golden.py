@@ -624,7 +624,7 @@ SPECS: List[GoldenSpec] = [
         # ENVELOPE-sweep precedent: slack = the reference's own
         # across-run spread, floor = its worse committed run. Our
         # artifact stacks two independent draws (scripts/r5_cem_bipedal).
-        "BipedalWalker-v3", "CEM_GD3PG_3_seed", "",
+        "BipedalWalker-v3", "CEM_GD3PG_4_seed", "",
         ref_paths=(
             "CEM_GD3PG_file/results/BipedalWalker-v3/CEM_GD3PG_7/"
             "CEM_GD3PG_seed_0.npy",
@@ -633,7 +633,7 @@ SPECS: List[GoldenSpec] = [
         ),
         slack=300.0, floor=-110.5, agg="best",
         note="ref's two same-config runs: -110.5 / +189.5 (spread 300); "
-             "our three draws: +81.9 / +143.2 / +13.5 — ALL walk (the "
+             "our four draws: +81.9 / +143.2 / +13.5 / +74.5 — ALL walk (the "
              "ref's worse one crashes), best 46 under its best with "
              "last-25 still climbing (+168) at the 500-ep cutoff. "
              "Best-draw gate + floor at its worse run; regen "
